@@ -1,0 +1,358 @@
+"""Graph compiler: effect graph -> single jittable render program.
+
+This replaces the reference's entire runtime layer (task-per-node + SPSC
+pipes + emergent dataflow scheduling, runtime.rs:614-752, node.rs:267-352)
+with ahead-of-time compilation:
+
+* links dissolve into SSA values (fan-out = value reuse);
+* fan-in becomes the reference's averaging mix ``sum / (n + 1e-4)``
+  (node.rs:162-194, divisor quirk SURVEY.md 2.4 #1);
+* modulation (`as_input`) ports apply the [-1,1] -> slider-range mapping of
+  the derive macro (dsp-stuff-derive/src/lib.rs:135-153);
+* acyclic regions evaluate one node per *full sequence* -- elementwise
+  chains fuse in XLA, IIRs lower to associative scans (ops/scan.py);
+* each feedback SCC compiles to one `lax.scan` over 128-sample blocks, with
+  intra-cycle back edges carrying exactly one block of delay (the defined
+  semantic for the reference's emergent pipe latency; SURVEY.md section 7
+  "hard parts");
+* Input nodes bind external source columns, Output nodes produce rendered
+  channels, analysis sinks produce aux arrays.
+
+The emitted callable has signature
+
+    fn(state, ext) -> (new_state, outs, aux)
+
+with everything a pytree of [T]-shaped f32 arrays; batching is plain
+`jax.vmap`, sharding is `jax.sharding` on the batch axis (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_stuff_tpu.graph import Graph, GraphNode
+from dsp_stuff_tpu.registry import ParamSpec
+from dsp_stuff_tpu.compiler.scc import condensation_topo_order
+
+EXTERNAL = "__external__"
+
+
+def _fanin_divisor(n: int) -> np.float32:
+    """num_frames starts at 0.0001 and gains 1.0 per connected pipe, in f32
+    (node.rs:166,179,190-192)."""
+    d = np.float32(0.0001)
+    for _ in range(n):
+        d = np.float32(d + np.float32(1.0))
+    return d
+
+
+def _avg(sources: list, T: int):
+    """Fan-in average; returns (signal [T], n_connected)."""
+    n = len(sources)
+    if n == 0:
+        return jnp.zeros((T,), jnp.float32), 0
+    acc = sources[0]
+    for s in sources[1:]:
+        acc = acc + s
+    return acc / _fanin_divisor(n), n
+
+
+def _map_mod(sig, p: ParamSpec):
+    """Modulation-signal -> slider-range mapping (lib.rs:140-148):
+    y=(x+1)/2; z=clamp(y,0,1); lo + (hi-lo)*z, all f32."""
+    y = (sig + np.float32(1.0)) / np.float32(2.0)
+    z = jnp.clip(y, 0.0, 1.0)
+    return np.float32(p.lo) + np.float32(np.float32(p.hi) - np.float32(p.lo)) * z
+
+
+def _call(impl, params, state, inputs, T, block_size):
+    if getattr(impl, "needs_length", False):
+        return impl.process_seq(params, state, inputs, T=T,
+                                block_size=block_size)
+    return impl.process_seq(params, state, inputs)
+
+
+def _call_block(impl, params, state, inputs, block_size):
+    fn = getattr(impl, "process_block", impl.process_seq)
+    if getattr(impl, "needs_length", False):
+        return fn(params, state, inputs, T=block_size, block_size=block_size)
+    return fn(params, state, inputs)
+
+
+@dataclasses.dataclass
+class CompiledGraph:
+    graph: Graph
+    block_size: int
+    input_ids: list[int]          # Input-node ids, ascending
+    output_ids: list[int]         # Output-node ids, ascending
+    sink_ids: list[int]           # analysis sinks, ascending
+    fn: Callable                  # fn(state, ext) -> (state, outs, aux)
+    _init_state: Callable
+
+    def init_state(self):
+        return self._init_state()
+
+    @functools.cached_property
+    def jit_fn(self):
+        return jax.jit(self.fn)
+
+    def render(self, inputs=None, T: int | None = None, state=None,
+               batch_shape: tuple[int, ...] = ()):
+        """One-call offline render.
+
+        inputs -- None (no Input nodes / silence), an [n_inputs, T] array,
+                  a dict {node_id: [T] array}, or with leading batch axes
+                  [..., n_inputs, T] matching batch_shape.
+        Returns (outs [n_out, T] (or [..., n_out, T]), aux dict, state).
+        """
+        ext = self._pack_inputs(inputs, T, batch_shape)
+        T = next(iter(ext.values())).shape[-1] if ext else T
+        if T is None:
+            raise ValueError("T is required when the graph has no Input nodes")
+        if T % self.block_size:
+            raise ValueError(f"T={T} must be a multiple of block_size={self.block_size}")
+        if state is None:
+            state = self.init_state()
+        fn = self.jit_fn
+        for _ in range(len(batch_shape)):
+            fn = jax.vmap(fn, in_axes=(None, 0))
+        state, outs, aux = fn(state, ext)
+        out_arr = jnp.stack([outs[i] for i in self.output_ids], axis=-2) \
+            if self.output_ids else jnp.zeros((*batch_shape, 0, T), jnp.float32)
+        return out_arr, aux, state
+
+    def _pack_inputs(self, inputs, T, batch_shape):
+        if inputs is None:
+            if T is None:
+                raise ValueError("T required to synthesize silent inputs")
+            ext = {str(i): jnp.zeros((*batch_shape, T), jnp.float32)
+                   for i in self.input_ids}
+            if not ext:
+                # length-carrying dummy so fn can infer T under jit
+                ext["__len__"] = jnp.zeros((*batch_shape, T), jnp.float32)
+            return ext
+        if isinstance(inputs, dict):
+            ext = {str(k): jnp.asarray(v, jnp.float32)
+                   for k, v in inputs.items()}
+            missing = [i for i in self.input_ids if str(i) not in ext]
+            if missing:
+                Td = next(iter(ext.values())).shape[-1] if ext else T
+                for i in missing:
+                    ext[str(i)] = jnp.zeros((*batch_shape, Td), jnp.float32)
+            return ext
+        arr = jnp.asarray(inputs, jnp.float32)
+        if arr.ndim == 1:
+            arr = arr[None]
+        assert arr.shape[-2] == len(self.input_ids), \
+            (arr.shape, self.input_ids)
+        return {str(nid): arr[..., i, :]
+                for i, nid in enumerate(self.input_ids)}
+
+
+def _active_nodes(graph: Graph) -> set[int]:
+    """Nodes with at least one connected link (the reference never starts a
+    node with zero connections, runtime.rs:661-668)."""
+    act = set()
+    for l in graph.links:
+        act.add(l.src)
+        act.add(l.dst)
+    return act
+
+
+def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
+    active = _active_nodes(graph)
+    nodes = {nid: n for nid, n in graph.nodes.items() if nid in active}
+
+    input_ids = sorted(n.id for n in nodes.values()
+                       if getattr(n.spec.impl, "graph_input", False))
+    output_ids = sorted(n.id for n in nodes.values()
+                        if getattr(n.spec.impl, "graph_output", False))
+    sink_ids = sorted(n.id for n in nodes.values()
+                      if n.spec.is_sink and not getattr(n.spec.impl,
+                                                        "graph_output", False))
+
+    # node-level dependency edges (src -> dst)
+    edges: dict[int, set[int]] = {nid: set() for nid in nodes}
+    for l in graph.links:
+        if l.src in nodes and l.dst in nodes:
+            edges[l.src].add(l.dst)
+    sccs = condensation_topo_order(sorted(nodes), edges)
+
+    def init_state():
+        return {
+            str(nid): nodes[nid].spec.impl.init_state(nodes[nid].params,
+                                                      block_size)
+            for nid in nodes
+        }
+
+    def fn(state, ext):
+        T = None
+        for v in ext.values():
+            T = v.shape[-1]
+        if T is None:
+            raise ValueError(
+                "graphs without Input nodes need a length hint; "
+                "use CompiledGraph.render(T=...)")
+        return _eval(state, ext, T)
+
+    def _resolve_params(node: GraphNode, in_sigs: dict, T: int):
+        """params dict with modulation ports resolved; in_sigs maps port ->
+        (avg signal, n_connected)."""
+        params: dict[str, Any] = {}
+        for p in node.spec.params:
+            if isinstance(p, ParamSpec) and p.as_input:
+                sig, n = in_sigs.get(p.name, (None, 0))
+                if n > 0:
+                    params[p.name] = _map_mod(sig, p)
+                else:
+                    params[p.name] = float(node.params[p.name])
+            else:
+                params[p.name] = node.params[p.name]
+        return params
+
+    def _eval(state, ext, T: int):
+        state = dict(state)
+        values: dict[tuple[int, str], Any] = {}
+
+        def port_sources(nid, port, lookup):
+            return [lookup(l.src, l.src_port)
+                    for l in graph.in_links(nid, port)]
+
+        def seq_lookup(src, src_port):
+            return values[(src, src_port)]
+
+        for comp in sccs:
+            is_cycle = len(comp) > 1 or any(
+                l.src == l.dst == comp[0] for l in graph.links)
+            if not is_cycle:
+                nid = comp[0]
+                node = nodes[nid]
+                impl = node.spec.impl
+                in_sigs = {}
+                for port in node.spec.all_inputs:
+                    srcs = port_sources(nid, port, seq_lookup)
+                    in_sigs[port] = _avg(srcs, T)
+                if getattr(impl, "graph_input", False):
+                    inputs = {EXTERNAL: ext[str(nid)]}
+                else:
+                    inputs = {p: in_sigs[p][0] for p in node.spec.inputs}
+                params = _resolve_params(node, in_sigs, T)
+                outs, new_st = _call(impl, params, state[str(nid)], inputs,
+                                     T, block_size)
+                state[str(nid)] = new_st
+                for port in node.spec.outputs:
+                    values[(nid, port)] = outs[port]
+            else:
+                _eval_cycle(comp, state, values, ext, T)
+
+        # graph outputs: fan-in average into each Output node (output.rs:215-250)
+        outs = {}
+        for nid in output_ids:
+            node = nodes[nid]
+            sig, _ = _avg(port_sources(nid, "in", seq_lookup), T)
+            outs[nid] = sig
+
+        # analysis sinks
+        aux = {}
+        for nid in sink_ids:
+            node = nodes[nid]
+            impl = node.spec.impl
+            if not hasattr(impl, "analyze"):
+                continue
+            in_sigs = {port: _avg(port_sources(nid, port, seq_lookup), T)
+                       for port in node.spec.all_inputs}
+            inputs = {p: in_sigs[p][0] for p in node.spec.inputs}
+            params = _resolve_params(node, in_sigs, T)
+            aux[f"{node.cfg_name}:{nid}"] = impl.analyze(params, inputs)
+
+        return state, outs, aux
+
+    def _eval_cycle(comp, state, values, ext, T: int):
+        """Compile one feedback SCC to a lax.scan over blocks.
+
+        Member nodes execute in ascending-id order within a block; an
+        intra-cycle edge from a not-yet-run member carries the previous
+        block's value (one BLOCK of delay), which is the defined semantic
+        for the reference's emergent feedback latency."""
+        B = block_size
+        assert T % B == 0
+        nb = T // B
+        order = sorted(comp)
+        pos = {nid: i for i, nid in enumerate(order)}
+
+        # external sequences feeding this SCC, chopped into blocks
+        ext_feeds: dict[tuple[int, str], Any] = {}
+        for nid in order:
+            node = nodes[nid]
+            for port in node.spec.all_inputs:
+                for l in graph.in_links(nid, port):
+                    if l.src not in pos:
+                        key = (l.src, l.src_port)
+                        if key not in ext_feeds:
+                            seq = values[key]
+                            ext_feeds[key] = jnp.moveaxis(
+                                seq.reshape(*seq.shape[:-1], nb, B), -2, 0)
+        ext_ins = {}
+        for nid in order:
+            if getattr(nodes[nid].spec.impl, "graph_input", False):
+                seq = ext[str(nid)]
+                ext_ins[str(nid)] = jnp.moveaxis(
+                    seq.reshape(*seq.shape[:-1], nb, B), -2, 0)
+
+        member_ports = [(nid, port) for nid in order
+                        for port in nodes[nid].spec.outputs]
+
+        def body(carry, xs):
+            st, prev = carry
+            ext_blk, ext_in_blk = xs
+            st = dict(st)
+            cur: dict[tuple[int, str], Any] = {}
+
+            def blk_lookup(src, src_port):
+                if src in pos:
+                    key = (src, src_port)
+                    return cur[key] if key in cur else prev[key]
+                return ext_blk[(src, src_port)]
+
+            for nid in order:
+                node = nodes[nid]
+                impl = node.spec.impl
+                in_sigs = {}
+                for port in node.spec.all_inputs:
+                    srcs = [blk_lookup(l.src, l.src_port)
+                            for l in graph.in_links(nid, port)]
+                    in_sigs[port] = _avg(srcs, B)
+                if getattr(impl, "graph_input", False):
+                    inputs = {EXTERNAL: ext_in_blk[str(nid)]}
+                else:
+                    inputs = {p: in_sigs[p][0] for p in node.spec.inputs}
+                params = _resolve_params(node, in_sigs, B)
+                outs, new_st = _call_block(impl, params, st[str(nid)], inputs,
+                                           block_size)
+                st[str(nid)] = new_st
+                for port in node.spec.outputs:
+                    cur[(nid, port)] = outs[port]
+
+            return (st, cur), cur
+
+        st0 = {str(nid): state[str(nid)] for nid in order}
+        prev0 = {kp: jnp.zeros((B,), jnp.float32) for kp in member_ports}
+        (st_f, _), ys = jax.lax.scan(body, (st0, prev0), (ext_feeds, ext_ins),
+                                     length=nb)
+        for nid in order:
+            state[str(nid)] = st_f[str(nid)]
+        for kp in member_ports:
+            blocks = ys[kp]                     # [nb, B]
+            values[kp] = jnp.moveaxis(blocks, 0, -2).reshape(
+                *blocks.shape[1:-1], nb * B)
+
+    return CompiledGraph(
+        graph=graph, block_size=block_size,
+        input_ids=input_ids, output_ids=output_ids, sink_ids=sink_ids,
+        fn=fn, _init_state=init_state)

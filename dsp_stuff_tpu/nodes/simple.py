@@ -1,0 +1,84 @@
+"""Stateless combinator nodes: Gain, Add, Mix, Mux, Demux.
+
+These are single-expression elementwise ops; XLA fuses chains of them into
+one kernel, so each costs ~zero beyond the HBM traffic of its neighbors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dsp_stuff_tpu.registry import register_node, ParamSpec, SelectSpec
+
+
+@register_node(
+    title="Gain", cfg_name="gain", description="Adjust gain of a signal",
+    inputs=("in",), outputs=("out",),
+    params=(ParamSpec("level", 0.0, 10.0, 1.0, as_input=True),),
+)
+class Gain:
+    """out[i] = in[i] * level[i] (gain.rs:27-38)."""
+
+    @staticmethod
+    def process_seq(params, state, inputs):
+        return {"out": inputs["in"] * params["level"]}, state
+
+
+@register_node(
+    title="add", cfg_name="add", description="add two signals together",
+    inputs=("a", "b"), outputs=("out",),
+)
+class Add:
+    """out = a + b (add.rs:24-34)."""
+
+    @staticmethod
+    def process_seq(params, state, inputs):
+        return {"out": inputs["a"] + inputs["b"]}, state
+
+
+@register_node(
+    title="Mix", cfg_name="mix", description="Mix two signals together",
+    inputs=("a", "b"), outputs=("out",),
+    params=(ParamSpec("ratio", 0.0, 1.0, 0.5, as_input=True,
+                      label="Ratio (a:b)"),),
+)
+class Mix:
+    """out = b*ratio + a*(1-ratio) (mix.rs:33-47)."""
+
+    @staticmethod
+    def process_seq(params, state, inputs):
+        r = params["ratio"]
+        return {"out": inputs["b"] * r + inputs["a"] * (1.0 - r)}, state
+
+
+@register_node(
+    title="mux", cfg_name="mux", description="Toggle between two input signals",
+    inputs=("a", "b"), outputs=("out",),
+    params=(SelectSpec("in_port", ("A", "B"), "A"),),
+)
+class Mux:
+    """Copy the selected input (mux.rs:44-55); selection is a static param."""
+
+    @staticmethod
+    def process_seq(params, state, inputs):
+        src = inputs["a"] if params["in_port"] == "A" else inputs["b"]
+        return {"out": src}, state
+
+
+@register_node(
+    title="demux", cfg_name="demux",
+    description="Toggle between two output signals",
+    inputs=("in",), outputs=("a", "b"),
+    params=(SelectSpec("out_port", ("A", "B"), "A"),),
+)
+class Demux:
+    """Copy input to the selected output; the other output stays silent
+    (demux.rs:44-58 -- the unselected buffer is simply left zeroed)."""
+
+    @staticmethod
+    def process_seq(params, state, inputs):
+        x = inputs["in"]
+        zero = jnp.zeros_like(x)
+        if params["out_port"] == "A":
+            return {"a": x, "b": zero}, state
+        return {"a": zero, "b": x}, state

@@ -1,0 +1,76 @@
+"""Feedback comb / echo delay line.
+
+The reference Reverb node (reverb.rs:76-111) is a feedback echo:
+
+    out[n] = in[n] + delayed[n] * decay      # reverb.rs:87-92
+    delay-line <- out[n]                     # reverb.rs:99-105
+
+with the delay line a rivulet ring pre-filled with D zeros, i.e.
+
+    y[n] = x[n] + decay * y[n - D],  y[n<0] = 0,
+    D = max(int(seconds * 48000), 128)       # reverb.rs:57
+
+(The ring is re-allocated and zero-filled whenever `seconds` changes,
+reverb.rs:55-71; under jit that maps to a static max length with a reset.)
+
+TPU-first lowering: y[n] depends only on y[n - D], so the sequence splits
+into chunks of exactly D samples with a first-order recurrence *between*
+chunks: chunk_k = x_chunk_k + decay * chunk_{k-1}.  A `lax.scan` over T/D
+chunks does O(T/D) sequential steps of fully-vectorized D-wide work --
+for D >= 128 that is at least 128-way parallelism per step, and the
+per-sample op order (t = delayed*decay; y = x + t) matches the reference
+bit-for-bit in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def delay_samples(seconds: float, sample_rate: int = 48_000,
+                  block_size: int = 128) -> int:
+    """max(int(seconds*48000), 128) -- reverb.rs:57."""
+    return max(int(seconds * sample_rate), block_size)
+
+
+def feedback_comb(x, decay, delay: int, history=None):
+    """y[n] = x[n] + decay * y[n-D] along the last axis.
+
+    history -- [..., D] previous outputs (newest last), zeros if None.
+    Returns (y, new_history).
+    """
+    f32 = jnp.float32
+    x = jnp.asarray(x, f32)
+    D = int(delay)
+    if history is None:
+        history = jnp.zeros((*x.shape[:-1], D), f32)
+    return _feedback_comb_jit(x, jnp.asarray(decay, f32), history, D)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _feedback_comb_jit(x, decay, history, D: int):
+    f32 = jnp.float32
+    T = x.shape[-1]
+    batch = x.shape[:-1]
+
+    nchunks = -(-T // D)
+    pad = nchunks * D - T
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xc = jnp.moveaxis(xp.reshape(*batch, nchunks, D), -2, 0)   # [K, ..., D]
+
+    def step(prev, xk):
+        y = xk + prev * decay
+        return y, y
+
+    last, yc = jax.lax.scan(step, history, xc)
+    y = jnp.moveaxis(yc, 0, -2).reshape(*batch, nchunks * D)[..., :T]
+
+    if pad == 0:
+        new_hist = last
+    else:
+        # last D true outputs (prepend old history in case T < D)
+        new_hist = jnp.concatenate([history, y], axis=-1)[..., -D:]
+    return y, new_hist

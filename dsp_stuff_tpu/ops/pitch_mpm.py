@@ -1,0 +1,100 @@
+"""McLeod Pitch Method (MPM) -- batch analog of the Pitch node.
+
+The reference accumulates 1024-sample windows (hop 1024) in a ring and runs
+``pitch_detection::McLeodDetector::new(1024, 512)`` with power/clarity/pick
+thresholds (pitch.rs:115-147).  MPM computes the normalized square
+difference function
+
+    nsdf[tau] = 2 * acf[tau] / m[tau]
+    acf[tau]  = sum_j x[j] * x[j+tau]
+    m[tau]    = sum_j (x[j]^2 + x[j+tau]^2)
+
+picks key maxima between positive-going zero crossings, takes the first
+peak above ``pick_threshold * max_peak``, refines it with parabolic
+interpolation, and reports frequency = sr / tau and clarity = peak value,
+gated on signal power and clarity thresholds.
+
+Everything is vectorized: acf via rFFT, peak picking via masked argmax, all
+windows of all streams in parallel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def nsdf(x):
+    """x [..., W] -> nsdf [..., W//2] via FFT autocorrelation."""
+    W = x.shape[-1]
+    nfft = 2 * W
+    X = jnp.fft.rfft(x, nfft)
+    acf = jnp.fft.irfft(X * jnp.conj(X), nfft)[..., : W // 2]
+    # m[tau] = sum_{j=0}^{W-tau-1} x[j]^2 + x[j+tau]^2
+    x2 = x * x
+    c = jnp.cumsum(x2, axis=-1)
+    total = c[..., -1:]
+    tau = jnp.arange(W // 2)
+    # sum_{j<W-tau} x[j]^2 = c[W-tau-1]; sum_{j>=tau} x[j]^2 = total - c[tau-1]
+    head = jnp.take_along_axis(
+        jnp.broadcast_to(c, (*x.shape[:-1], W)),
+        jnp.broadcast_to(W - tau - 1, (*x.shape[:-1], W // 2)), axis=-1)
+    cpad = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    tail = total - jnp.take_along_axis(
+        jnp.broadcast_to(cpad, (*x.shape[:-1], W + 1)),
+        jnp.broadcast_to(tau, (*x.shape[:-1], W // 2)), axis=-1)
+    m = head + tail
+    return jnp.where(m > 0, 2.0 * acf / m, 0.0)
+
+
+def detect_pitch(x, sample_rate: int = 48_000, power_threshold: float = 0.5,
+                 clarity_threshold: float = 0.5, pick_threshold: float = 0.5,
+                 window: int = 1024):
+    """x [..., T] -> dict of per-window pitch tracks.
+
+    Returns {"frequency": [..., n_win], "clarity": [..., n_win],
+             "voiced": bool [..., n_win]} with hop == window (the node's
+    read-1024 / release-1024 cycle, pitch.rs:120-139)."""
+    T = x.shape[-1]
+    n_win = T // window
+    xw = x[..., : n_win * window].reshape(*x.shape[:-1], n_win, window)
+    d = nsdf(xw)                                            # [..., n_win, W/2]
+    W2 = d.shape[-1]
+
+    # local maxima strictly between positive-going zero crossings, tau >= 1
+    rising = (d[..., 1:] > 0) & (d[..., :-1] <= 0)          # crossing before t+1
+    # mark region "after first positive-going crossing"
+    started = jnp.cumsum(rising.astype(jnp.int32), axis=-1) > 0
+    dpad = d[..., 1:]
+    is_peak = jnp.zeros_like(dpad, dtype=bool)
+    interior = (dpad[..., 1:-1] > dpad[..., :-2]) & (dpad[..., 1:-1] >= dpad[..., 2:])
+    is_peak = is_peak.at[..., 1:-1].set(interior)
+    is_peak = is_peak & started
+
+    neg_inf = jnp.float32(-np.inf)
+    peaks = jnp.where(is_peak, dpad, neg_inf)
+    max_peak = jnp.max(peaks, axis=-1, keepdims=True)
+    thresh = pick_threshold * max_peak
+    candidates = jnp.where(peaks >= thresh, peaks, neg_inf)
+    # first qualifying peak
+    first_idx = jnp.argmax(candidates > neg_inf, axis=-1)
+    tau0 = first_idx + 1                                     # offset from slice
+    val = jnp.take_along_axis(d, tau0[..., None], axis=-1)[..., 0]
+
+    # parabolic interpolation around tau0
+    tm = jnp.clip(tau0 - 1, 0, W2 - 1)
+    tp = jnp.clip(tau0 + 1, 0, W2 - 1)
+    ym = jnp.take_along_axis(d, tm[..., None], axis=-1)[..., 0]
+    yp = jnp.take_along_axis(d, tp[..., None], axis=-1)[..., 0]
+    denom = ym - 2.0 * val + yp
+    shift = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (ym - yp) / denom, 0.0)
+    tau_ref = tau0.astype(jnp.float32) + shift
+    freq = jnp.float32(sample_rate) / jnp.maximum(tau_ref, 1.0)
+
+    power = jnp.sum(xw * xw, axis=-1)
+    has_peak = jnp.any(is_peak, axis=-1)
+    voiced = has_peak & (power >= power_threshold) & (val >= clarity_threshold)
+    return {"frequency": jnp.where(voiced, freq, 0.0),
+            "clarity": jnp.where(voiced, val, 0.0),
+            "voiced": voiced}

@@ -1,0 +1,193 @@
+"""Linear-recurrence lowering: IIR filters as associative scans.
+
+The reference evaluates all IIR state sequentially per sample on the CPU
+(one-pole smoothers low_pass.rs:36-41 / high_pass.rs:36-41, DirectForm1
+biquad biquad.rs:79-89).  On TPU a sequential 48 kHz loop would waste the
+machine; linear recurrences are instead lowered to
+``jax.lax.associative_scan`` (Blelloch scan over the affine-map monoid),
+which XLA parallelizes over the sample axis:
+
+* first order:  y[t] = a[t]*y[t-1] + b[t]
+  elements (a, b); combine (a2, b2) o (a1, b1) = (a2*a1, a2*b1 + b2)
+* second order (biquad): state s[t] = [y[t], y[t-1]],
+  s[t] = A s[t-1] + [f[t], 0] with A = [[-a1, -a2], [1, 0]];
+  elements (A, v); combine (A2, v2) o (A1, v1) = (A2A1, A2 v1 + v2)
+
+Reassociation changes f32 rounding; the precision policy selects f64
+internals (parity) or strictly sequential evaluation (exact) -- see
+utils/precision.py.  All functions operate on ``[..., T]`` arrays
+(recurrence along the last axis) and are vmap/batch friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dsp_stuff_tpu.utils.precision import get_policy
+
+
+def _move_time_first(x):
+    return jnp.moveaxis(x, -1, 0)
+
+
+def _move_time_last(x):
+    return jnp.moveaxis(x, 0, -1)
+
+
+def first_order_affine(a, b, y0):
+    """y[t] = a[t] * y[t-1] + b[t] along the last axis, y[-1] = y0.
+
+    ``a`` may be scalar or [..., T]; ``b`` is [..., T]; ``y0`` broadcasts to
+    b[..., 0].  Returns y with b's shape, f32.
+
+    Jitted per precision policy so standalone calls don't pay eager
+    per-level dispatch for the Blelchoch scan; inside compile_graph's jit
+    this simply inlines.
+    """
+    pol = get_policy()
+    return _first_order_jit(jnp.asarray(a, jnp.float32),
+                            jnp.asarray(b, jnp.float32),
+                            jnp.asarray(y0, jnp.float32),
+                            pol.scan_internal_dtype,
+                            pol.sequential_recurrences)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _first_order_jit(a, b, y0, internal_dtype, sequential):
+    if sequential:
+        return _first_order_sequential(a, b, y0)
+
+    dt = jnp.dtype(internal_dtype)
+    b = jnp.asarray(b)
+    a = jnp.broadcast_to(jnp.asarray(a, dt), b.shape).astype(dt)
+    bd = b.astype(dt)
+    y0 = jnp.broadcast_to(jnp.asarray(y0, dt), b.shape[:-1])
+    # fold the initial condition into the first element
+    bd = bd.at[..., 0].add(a[..., 0] * y0)
+
+    def combine(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return a2 * a1, a2 * b1 + b2
+
+    _, y = jax.lax.associative_scan(combine, (a, bd), axis=-1)
+    return y.astype(jnp.float32)
+
+
+def _mul_unfused(a, b):
+    """f32 multiply that cannot be FMA-contracted with a following add.
+
+    XLA's backends contract ``a*y + b`` into a single-rounding fma at the
+    LLVM level (lax.optimization_barrier does not prevent it), while the
+    Rust reference compiles to separate mul and add roundings.  A plain
+    f64-mul-then-convert is also insufficient: XLA's algebraic simplifier
+    legally rewrites convert_f32(mul_f64(convert(a), convert(b))) back to
+    mul_f32, re-exposing the contraction.  ``lax.reduce_precision`` is a
+    semantic op the simplifier never removes: compute the product exactly
+    in f64, round it onto the f32 grid (innocuous double rounding — f64's
+    53 bits >= 2*24+2, Figueroa), and convert.  Bit-identical to an
+    unfused f32 multiply.  Used only on 'exact'-policy paths."""
+    p = a.astype(jnp.float64) * b.astype(jnp.float64)
+    p = jax.lax.reduce_precision(p, exponent_bits=8, mantissa_bits=23)
+    return p.astype(jnp.float32)
+
+
+def _first_order_sequential(a, b, y0):
+    """Strictly sequential f32 evaluation (bit-order parity with the
+    reference's loops when the caller passes the same b expression)."""
+    b = jnp.asarray(b, jnp.float32)
+    a = jnp.broadcast_to(jnp.asarray(a, jnp.float32), b.shape)
+    y0 = jnp.broadcast_to(jnp.asarray(y0, jnp.float32), b.shape[:-1])
+
+    def step(y, ab):
+        at, bt = ab
+        y = _mul_unfused(at, y) + bt
+        return y, y
+
+    _, ys = jax.lax.scan(step, y0, (_move_time_first(a), _move_time_first(b)))
+    return _move_time_last(ys)
+
+
+def biquad_df1(x, a1, a2, b0, b1, b2, state=None):
+    """DirectForm1 biquad (biquad crate semantics, used by biquad.rs:79-89):
+
+        y[t] = b0*x[t] + b1*x[t-1] + b2*x[t-2] - a1*y[t-1] - a2*y[t-2]
+
+    ``state = (x1, x2, y1, y2)`` (previous inputs/outputs, defaults 0).
+    Returns (y, new_state).  Coefficients are scalars, already divided by a0
+    (biquad.rs:62-76 divides at update; state resets whenever a slider
+    changes, biquad.rs:74 -- handled by the caller).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if state is None:
+        z = jnp.zeros(x.shape[:-1], jnp.float32)
+        state = (z, z, z, z)
+    state = tuple(jnp.broadcast_to(jnp.asarray(s, jnp.float32), x.shape[:-1])
+                  for s in state)
+    coeffs = tuple(jnp.asarray(c, jnp.float32) for c in (a1, a2, b0, b1, b2))
+    pol = get_policy()
+    return _biquad_jit(x, coeffs, state, pol.scan_internal_dtype,
+                       pol.sequential_recurrences)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _biquad_jit(x, coeffs, state, internal_dtype, sequential):
+    a1, a2, b0, b1, b2 = coeffs
+    x1, x2, y1, y2 = state
+    if sequential:
+        return _biquad_sequential(x, a1, a2, b0, b1, b2, (x1, x2, y1, y2))
+
+    dt = jnp.dtype(internal_dtype)
+    xd = x.astype(dt)
+    a1d, a2d = jnp.asarray(a1, dt), jnp.asarray(a2, dt)
+    b0d, b1d, b2d = (jnp.asarray(c, dt) for c in (b0, b1, b2))
+
+    # FIR feed-forward part with carried x-history prefix
+    xp = jnp.concatenate([x2[..., None].astype(dt), x1[..., None].astype(dt), xd],
+                         axis=-1)
+    f = (b0d * xp[..., 2:] + b1d * xp[..., 1:-1] + b2d * xp[..., :-2])
+
+    T = x.shape[-1]
+    batch = x.shape[:-1]
+    # companion matrix A = [[-a1, -a2], [1, 0]], identical for every t
+    A_single = jnp.stack([jnp.stack([-a1d, -a2d]),
+                          jnp.asarray([1.0, 0.0], dt)])            # [2, 2]
+    # time-first layout so one scan axis serves both leaves
+    A = jnp.broadcast_to(A_single, (T, *batch, 2, 2))
+    f_t = jnp.moveaxis(f, -1, 0)                                    # [T, ...]
+    v = jnp.stack([f_t, jnp.zeros_like(f_t)], axis=-1)              # [T, ..., 2]
+    s0 = jnp.stack([y1.astype(dt), y2.astype(dt)], axis=-1)         # [..., 2]
+    v = v.at[0].add(jnp.einsum("ij,...j->...i", A_single, s0))
+
+    def combine(l, r):
+        A1, v1 = l
+        A2, v2 = r
+        return A2 @ A1, jnp.einsum("...ij,...j->...i", A2, v1) + v2
+
+    _, s = jax.lax.associative_scan(combine, (A, v), axis=0)
+    y = jnp.moveaxis(s[..., 0], 0, -1).astype(jnp.float32)          # [..., T]
+    y_prev_last = jnp.moveaxis(s[..., 1], 0, -1)[..., -1].astype(jnp.float32)
+    new_state = (x[..., -1], xp[..., -2].astype(jnp.float32),
+                 y[..., -1], y_prev_last)
+    return y, new_state
+
+
+def _biquad_sequential(x, a1, a2, b0, b1, b2, state):
+    """Per-sample f32 loop with the biquad crate's exact op order:
+    out = b0*x + b1*x1 + b2*x2 - a1*y1 - a2*y2 (DirectForm1::run)."""
+    f32 = jnp.float32
+    a1, a2, b0, b1, b2 = (jnp.asarray(c, f32) for c in (a1, a2, b0, b1, b2))
+    x1, x2, y1, y2 = state
+
+    def step(carry, xt):
+        x1, x2, y1, y2 = carry
+        out = (_mul_unfused(b0, xt) + _mul_unfused(b1, x1)
+               + _mul_unfused(b2, x2) - _mul_unfused(a1, y1)
+               - _mul_unfused(a2, y2))
+        return (xt, x1, out, y1), out
+
+    carry, ys = jax.lax.scan(step, (x1, x2, y1, y2), _move_time_first(x))
+    return _move_time_last(ys), carry

@@ -1,0 +1,25 @@
+"""Test config: CPU backend with a virtual 8-device mesh.
+
+The reference of record for multi-chip sharding tests; real-TPU benchmarking
+happens in bench.py.  The container's sitecustomize force-registers the TPU
+('axon') backend and sets JAX_PLATFORMS=axon, so env vars alone don't stick —
+we must set XLA_FLAGS before backend init and then override jax_platforms via
+jax.config (which wins over the env).  Set DST_TEST_TPU=1 to run the suite on
+the real chip instead (f64 emulation there has broken transcendental tails;
+a few parity-policy tests may be skipped).
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if not os.environ.get("DST_TEST_TPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,243 @@
+"""Graph-level tests: compiler protocol semantics + JSON config compat."""
+
+import json
+
+import numpy as np
+import pytest
+
+import dsp_stuff_tpu as dst
+import oracle
+
+RNG = np.random.default_rng(1)
+T = 1024
+
+
+def assert_dbfs(got, want, bound=-90.0):
+    db = oracle.max_err_dbfs(got, want)
+    assert db <= bound, f"max error {db:.1f} dBFS > {bound}"
+
+
+def in_graph(*chain_types, **param_overrides):
+    """input -> chain -> output graph."""
+    g = dst.Graph()
+    inp = g.add("input")
+    prev = inp
+    made = [inp]
+    for t in chain_types:
+        n = g.add(t, **param_overrides.get(t, {}))
+        g.connect(prev, prev.spec.outputs[0], n, n.spec.inputs[0])
+        prev = n
+        made.append(n)
+    out = g.add("output")
+    g.connect(prev, prev.spec.outputs[0], out, out.spec.inputs[0])
+    return g, made
+
+
+def test_single_gain_chain():
+    """input -> gain -> output with the per-hop 1/1.0001 fan-in scaling."""
+    x = RNG.standard_normal(T).astype(np.float32)
+    g, _ = in_graph("gain", gain={"level": 2.0})
+    outs, _, _ = dst.render(g, x[None])
+    d1 = oracle.fanin_average([x])                  # into gain
+    d2 = oracle.fanin_average([(d1 * np.float32(2.0)).astype(np.float32)])
+    assert_dbfs(outs[0], d2, -120.0)
+
+
+def test_fan_in_averaging():
+    """Two producers into one port: (a+b)/2.0001."""
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    g1 = g.add("gain", level=1.0)
+    g2 = g.add("gain", level=3.0)
+    out = g.add("output")
+    g.connect(inp, "out", g1, "in")
+    g.connect(inp, "out", g2, "in")
+    g.connect(g1, "out", out, "in")
+    g.connect(g2, "out", out, "in")
+    outs, _, _ = dst.render(g, x[None])
+    xin = oracle.fanin_average([x])
+    y1 = (xin * np.float32(1.0)).astype(np.float32)
+    y2 = (xin * np.float32(3.0)).astype(np.float32)
+    want = oracle.fanin_average([y1, y2])
+    assert_dbfs(outs[0], want, -110.0)
+
+
+def test_unconnected_input_silence():
+    """add with only port 'a' connected: b reads silence (SURVEY 2.4 #2)."""
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    add = g.add("add")
+    out = g.add("output")
+    g.connect(inp, "out", add, "a")
+    g.connect(add, "out", out, "in")
+    outs, _, _ = dst.render(g, x[None])
+    want = oracle.fanin_average([oracle.fanin_average([x])])
+    assert_dbfs(outs[0], want, -110.0)
+
+
+def test_modulated_gain():
+    """signal_gen -> gain.level modulation: [-1,1] -> [0,10] mapping plus
+    per-block knob semantics."""
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    lfo = g.add("signal_gen", mode="Sine", frequency=3.0, amplitude=1.0)
+    gain = g.add("gain", level=5.0)
+    out = g.add("output")
+    g.connect(inp, "out", gain, "in")
+    g.connect(lfo, "out", gain, "level")
+    g.connect(gain, "out", out, "in")
+    outs, _, _ = dst.render(g, x[None])
+
+    lfo_sig, _ = oracle.signal_gen("Sine", 1.0, 3.0, T)
+    mod = oracle.fanin_average([lfo_sig])
+    level = oracle.mod_map(mod, 0.0, 10.0)
+    xin = oracle.fanin_average([x])
+    y = (xin * level).astype(np.float32)
+    want = oracle.fanin_average([y])
+    assert_dbfs(outs[0], want)
+
+
+def test_mux_demux():
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    dmx = g.add("demux", out_port="B")
+    mx = g.add("mux", in_port="B")
+    out = g.add("output")
+    g.connect(inp, "out", dmx, "in")
+    g.connect(dmx, "b", mx, "b")
+    g.connect(dmx, "a", mx, "a")
+    g.connect(mx, "out", out, "in")
+    outs, _, _ = dst.render(g, x[None])
+    sig = oracle.fanin_average([oracle.fanin_average([oracle.fanin_average([x])])])
+    assert_dbfs(outs[0], sig, -100.0)
+
+
+def test_feedback_cycle_one_block_delay():
+    """input -> add -> gain -> (back into add); the back edge carries one
+    128-sample block of delay (the defined cycle semantic)."""
+    B = 128
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    add = g.add("add")
+    fb = g.add("gain", level=0.5)
+    out = g.add("output")
+    g.connect(inp, "out", add, "a")
+    g.connect(add, "out", fb, "in")
+    g.connect(fb, "out", add, "b")
+    g.connect(add, "out", out, "in")
+    outs, _, _ = dst.render(g, x[None])
+
+    # oracle: block-stepped with one-block-delayed feedback
+    y_prev_fb = np.zeros(B, np.float32)
+    want = np.empty(T, np.float32)
+    for b0 in range(0, T, B):
+        a_in = oracle.fanin_average([x[b0:b0 + B]])
+        b_in = oracle.fanin_average([y_prev_fb])
+        add_out = (a_in + b_in).astype(np.float32)
+        fb_in = oracle.fanin_average([add_out])
+        y_prev_fb = (fb_in * np.float32(0.5)).astype(np.float32)
+        want[b0:b0 + B] = oracle.fanin_average([add_out])
+    assert_dbfs(outs[0], want, -110.0)
+
+
+def test_json_roundtrip_and_reference_schema():
+    g = dst.Graph()
+    sg = g.add("signal_gen", frequency=440.0)
+    bq = g.add("biquad", a0=1.0, a1=-0.24, b0=0.758)
+    out = g.add("output")
+    g.chain(sg, bq)
+    g.connect(bq, "out", out, "in")
+    cfg = json.loads(dst.dumps_graph(g))
+
+    # reference schema shape (runtime.rs:606-612, 560-564)
+    assert set(cfg) == {"nodes", "links"}
+    for n in cfg["nodes"]:
+        assert set(n) == {"id", "typename", "position", "cfg"}
+        assert n["cfg"]["id"] == n["id"]
+    for l in cfg["links"]:
+        assert set(l) == {"lhs", "rhs"}
+        assert len(l["lhs"]) == 2 and len(l["rhs"]) == 2
+
+    g2 = dst.loads_graph(json.dumps(cfg))
+    o1, _, _ = dst.render(g, T=512)
+    o2, _, _ = dst.render(g2, T=512)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_restore_id_fetch_max():
+    """Fresh IDs after a restore must not collide (ids.rs:16)."""
+    g = dst.Graph()
+    sg = g.add("signal_gen")
+    out = g.add("output")
+    g.connect(sg, "out", out, "in")
+    s = dst.dumps_graph(g)
+    g2 = dst.loads_graph(s)
+    n_new = g2.add("gain")
+    assert n_new.id not in (sg.id, out.id)
+    used_ports = {pid for n in g2.nodes.values()
+                  for pid in (*n.in_port_ids.values(), *n.out_port_ids.values())
+                  if n.id != n_new.id}
+    assert not (set(n_new.in_port_ids.values()) & used_ports)
+
+
+def test_low_pass_high_pass_cfg_names():
+    """'high_pass' restores as High Pass (reference RESTORE behavior,
+    nodes/mod.rs:118-119); 'low_pass' as Low Pass; we save Low Pass as
+    'low_pass' (documented divergence from the reference's collision bug)."""
+    for name, title in [("low_pass", "Low Pass"), ("high_pass", "High Pass")]:
+        cfg = {"nodes": [{"id": 0, "typename": name, "position": [0, 0],
+                          "cfg": {"id": 0, "inputs": {"in": 1},
+                                  "outputs": {"out": 2}, "ratio": 0.25}}],
+               "links": []}
+        g = dst.loads_graph(json.dumps(cfg))
+        node = g.nodes[0]
+        assert node.spec.title == title
+        assert node.params["ratio"] == 0.25
+    g2 = dst.Graph()
+    g2.add("low_pass")
+    assert json.loads(dst.dumps_graph(g2))["nodes"][0]["typename"] == "low_pass"
+
+
+def test_batch_vmap_invariance():
+    """Same stream at different batch positions gives identical output."""
+    x = RNG.standard_normal(T).astype(np.float32)
+    g, _ = in_graph("gain", "low_pass")
+    batch = np.stack([x[None]] * 4)                 # [4, 1, T]
+    outs, _, _ = dst.render(g, batch, batch_shape=(4,))
+    for i in range(1, 4):
+        np.testing.assert_array_equal(outs[0], outs[i])
+
+
+def test_generator_graph_no_input():
+    g = dst.Graph()
+    sg = g.add("signal_gen", frequency=440.0, amplitude=0.9)
+    out = g.add("output")
+    g.connect(sg, "out", out, "in")
+    outs, _, _ = dst.render(g, T=512)
+    want, _ = oracle.signal_gen("Sine", 0.9, 440.0, 512)
+    assert_dbfs(outs[0], oracle.fanin_average([want]))
+
+
+def test_analysis_sinks():
+    g = dst.Graph()
+    sg = g.add("signal_gen", frequency=440.0, amplitude=0.9)
+    wv = g.add("wave_view")
+    sp = g.add("spectrogram", fft_size=256)
+    pt = g.add("pitch")
+    for sink in (wv, sp, pt):
+        g.connect(sg, "out", sink, "in")
+    outs, aux, _ = dst.render(g, T=4096)
+    assert f"wave_view:{wv.id}" in aux
+    assert f"spectrogram:{sp.id}" in aux
+    cols = np.asarray(aux[f"spectrogram:{sp.id}"]["columns"])
+    assert cols.shape[0] == 4096 // 256
+    freqs = np.asarray(aux[f"pitch:{pt.id}"]["frequency"])
+    voiced = np.asarray(aux[f"pitch:{pt.id}"]["voiced"])
+    assert voiced.any()
+    est = freqs[voiced]
+    assert np.all(np.abs(est - 440.0) < 5.0), est

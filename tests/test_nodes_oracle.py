@@ -1,0 +1,245 @@
+"""Golden-reference unit tests: every node's JAX kernel vs the NumPy oracle.
+
+North-star accuracy bar: max error <= -90 dBFS vs the reference semantics
+(BASELINE.json), under the default 'parity' precision policy.  Ops that are
+pure f32 elementwise with identical op order must be far tighter.
+"""
+
+import numpy as np
+import pytest
+
+import dsp_stuff_tpu as dst
+from dsp_stuff_tpu.ops import shaping, scan, delay_line, envelope as env_ops, \
+    fir as fir_ops, gen as gen_ops
+from dsp_stuff_tpu.utils import precision
+
+import oracle
+
+RNG = np.random.default_rng(0)
+T = 1024
+
+
+def sig(T=T, scale=1.0):
+    return (RNG.standard_normal(T) * scale).astype(np.float32)
+
+
+def assert_dbfs(got, want, bound=-90.0):
+    db = oracle.max_err_dbfs(got, want)
+    assert db <= bound, f"max error {db:.1f} dBFS > {bound}"
+
+
+# ---- shapers ---------------------------------------------------------------
+
+@pytest.mark.parametrize("mode,oracle_fn", [
+    ("HardClip", oracle.hard_clip), ("SoftClip", oracle.soft_clip),
+    ("Tanh", oracle.tanh_clip), ("RecipSoftClip", oracle.recip_soft_clip),
+    ("Sin", oracle.sin_shape), ("Atan", oracle.atan_shape),
+    ("Square", oracle.square_shape), ("Chebyshev4", oracle.chebyshev4),
+])
+@pytest.mark.parametrize("level", [0.0, 0.0005, 0.5, 3.0, 30.0])
+def test_distort_modes(mode, oracle_fn, level):
+    x = sig()
+    got = np.asarray(shaping.DISTORT_MODES[mode](x, np.float32(level)))
+    want = oracle_fn(x, level)
+    assert_dbfs(got, want, -120.0)
+
+
+def test_fuzz():
+    x = sig(512)
+    got = np.asarray(shaping.fuzz(x, np.float32(4.0)))
+    want = oracle.fuzz(x, 4.0)
+    assert_dbfs(got, want, -120.0)
+
+
+def test_fuzz_nan_on_silence():
+    x = np.zeros(128, np.float32)
+    got = np.asarray(shaping.fuzz(x, np.float32(4.0)))
+    assert np.isnan(got).all()  # reference quirk (SURVEY.md 2.4 #5)
+
+
+def test_overdrive():
+    x = sig()
+    got = np.asarray(shaping.overdrive(x, 5.0, 0.7, 0.9))
+    want = oracle.overdrive(x, 5.0, 0.7, 0.9)
+    assert_dbfs(got, want, -120.0)
+
+
+def test_chebyshev_asym():
+    x = sig()
+    got = np.asarray(shaping.chebyshev_asym(x, 3.0, 7.0))
+    want = oracle.chebyshev_asym(x, 3.0, 7.0)
+    assert_dbfs(got, want, -120.0)
+
+
+# ---- filters ---------------------------------------------------------------
+
+@pytest.mark.parametrize("ratio", [0.0, 0.3, 0.9, 0.99, 1.0])
+def test_low_pass(ratio):
+    x = sig()
+    r = np.float32(ratio)
+    b = x * np.float32(1.0 - r)
+    got = np.asarray(scan.first_order_affine(r, b, 0.0))
+    want, _ = oracle.low_pass(x, ratio)
+    assert_dbfs(got, want)
+
+
+@pytest.mark.parametrize("ratio", [0.3, 0.95])
+def test_high_pass(ratio):
+    x = sig()
+    r = np.float32(ratio)
+    z = np.asarray(scan.first_order_affine(r, x * np.float32(1.0 - r), 0.0))
+    got = x - z
+    want, _ = oracle.high_pass(x, ratio)
+    assert_dbfs(got, want)
+
+
+def test_low_pass_exact_bitwise():
+    x = sig()
+    want, _ = oracle.low_pass(x, 0.9)
+    with precision.policy("exact"):
+        r = np.float32(0.9)
+        got = np.asarray(scan.first_order_affine(r, x * np.float32(1.0 - r), 0.0))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("coeffs", [
+    (1.0, -0.24, 0.0, 0.758, 0.0, 0.0),     # reference default
+    (2.0, -1.2, 0.5, 0.4, 0.2, 0.1),         # a0 != 1 division path
+    (1.0, -1.8, 0.81, 0.1, 0.2, 0.1),        # resonant, slow decay
+])
+def test_biquad(coeffs):
+    x = sig()
+    a0, a1, a2, b0, b1, b2 = coeffs
+    f = np.float32
+    got, _ = scan.biquad_df1(x, f(f(a1) / f(a0)), f(f(a2) / f(a0)),
+                             f(f(b0) / f(a0)), f(f(b1) / f(a0)),
+                             f(f(b2) / f(a0)))
+    want, _ = oracle.biquad_df1(x, *coeffs)
+    assert_dbfs(np.asarray(got), want)
+
+
+def test_biquad_exact_bitwise():
+    x = sig(512)
+    want, _ = oracle.biquad_df1(x, 1.0, -0.24, 0.0, 0.758, 0.0, 0.0)
+    with precision.policy("exact"):
+        got, _ = scan.biquad_df1(x, np.float32(-0.24), np.float32(0.0),
+                                 np.float32(0.758), np.float32(0.0),
+                                 np.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_biquad_state_carry():
+    """Two segments must equal one continuous run."""
+    x = sig(512)
+    f = np.float32
+    args = (f(-0.24), f(0.0), f(0.758), f(0.0), f(0.0))
+    y_full, _ = scan.biquad_df1(x, *args)
+    y1, st = scan.biquad_df1(x[:256], *args)
+    y2, _ = scan.biquad_df1(x[256:], *args, state=st)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    assert_dbfs(got, np.asarray(y_full), -120.0)
+
+
+@pytest.mark.parametrize("attack,release", [(0.0, 0.0), (10.0, 100.0),
+                                            (500.0, 2.0)])
+def test_envelope(attack, release):
+    x = sig()
+    got, _ = env_ops.peak_envelope(x, attack, release)
+    want, _ = oracle.envelope(x, attack, release)
+    assert_dbfs(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("n_taps", [1, 4, 64, 300])
+@pytest.mark.parametrize("mode", ["Balanced", "Average"])
+def test_fir(n_taps, mode):
+    x = sig(T)
+    taps_rev = RNG.standard_normal(n_taps)
+    divisor = np.float32(1.0 / n_taps) if mode == "Average" else np.float32(1.0)
+    got, _ = fir_ops.fir_apply(x, taps_rev, None, divisor)
+    want, _ = oracle.fir(x, taps_rev, mode)
+    assert_dbfs(np.asarray(got), want)
+
+
+def test_fir_state_carry():
+    x = sig(1024)
+    taps_rev = RNG.standard_normal(37)
+    y_full, _ = fir_ops.fir_apply(x, taps_rev, None)
+    y1, st = fir_ops.fir_apply(x[:400], taps_rev, None)
+    y2, _ = fir_ops.fir_apply(x[400:], taps_rev, st)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    assert_dbfs(got, np.asarray(y_full), -200.0)
+
+
+def test_fir_warmup_crosses_segments():
+    """Warm-up longer than the first segment (the VecDeque is still short
+    when segment two starts)."""
+    x = sig(512)
+    taps_rev = RNG.standard_normal(200)
+    want, _ = oracle.fir(x, taps_rev)
+    y1, st = fir_ops.fir_apply(x[:128], taps_rev, None)
+    y2, _ = fir_ops.fir_apply(x[128:], taps_rev, st)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    assert_dbfs(got, want)
+
+
+# ---- delay / reverb --------------------------------------------------------
+
+@pytest.mark.parametrize("seconds,decay", [(0.0, 0.5), (0.01, 0.8), (0.003, 1.0)])
+def test_reverb_comb(seconds, decay):
+    x = sig(4096)
+    D = delay_line.delay_samples(seconds)
+    got, _ = delay_line.feedback_comb(x, np.float32(decay), D)
+    want, _ = oracle.reverb(x, seconds, decay)
+    assert_dbfs(np.asarray(got), want, -120.0)
+
+
+def test_reverb_state_carry():
+    x = sig(1024)
+    D = 128
+    y_full, _ = delay_line.feedback_comb(x, np.float32(0.7), D)
+    y1, h = delay_line.feedback_comb(x[:300], np.float32(0.7), D)
+    y2, _ = delay_line.feedback_comb(x[300:], np.float32(0.7), D, h)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_array_equal(got, np.asarray(y_full))
+
+
+# ---- signal generator ------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["Sine", "Triangle", "Square", "Constant"])
+@pytest.mark.parametrize("freq", [100.0, 440.0, 1234.5])
+def test_signal_gen(mode, freq):
+    Tn = 1024
+    got, clock = gen_ops.oscillator(mode, 0.5, freq, Tn)
+    want, clock_w = oracle.signal_gen(mode, 0.5, freq, Tn)
+    assert_dbfs(np.asarray(got), want)
+    if mode != "Constant":
+        assert abs(float(clock) - float(clock_w)) < 1e-5
+
+
+def test_signal_gen_square_quirk():
+    """Square must reproduce the intra-block-only comparison: at 100 Hz a
+    block of 128 samples accumulates total=0.2667 < 0.5, so the output is
+    constantly -amp (the bug, signal_gen.rs:98)."""
+    got, _ = gen_ops.oscillator("Square", 0.5, 100.0, 256)
+    assert np.allclose(np.asarray(got), -0.5)
+
+
+# ---- protocol --------------------------------------------------------------
+
+def test_fanin_divisor():
+    from dsp_stuff_tpu.compiler.compile import _fanin_divisor
+    assert _fanin_divisor(1) == np.float32(np.float32(0.0001) + np.float32(1.0))
+    a, b = sig(64), sig(64)
+    got = (a + b) / _fanin_divisor(2)
+    want = oracle.fanin_average([a, b])
+    assert_dbfs(got, want, -120.0)
+
+
+def test_mod_mapping():
+    from dsp_stuff_tpu.compiler.compile import _map_mod
+    from dsp_stuff_tpu.registry import ParamSpec
+    p = ParamSpec("level", 0.0, 10.0, 1.0, as_input=True)
+    x = np.linspace(-1.5, 1.5, 64).astype(np.float32)
+    got = np.asarray(_map_mod(x, p))
+    want = oracle.mod_map(x, 0.0, 10.0)
+    assert_dbfs(got, want, -120.0)
