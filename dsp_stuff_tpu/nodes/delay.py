@@ -13,7 +13,8 @@ from dsp_stuff_tpu.ops.delay_line import feedback_comb, delay_samples
     description="Repeat/ echo sounds with a given delay and decay factor",
     inputs=("in",), outputs=("out",),
     params=(
-        ParamSpec("seconds", 0.0, 1.0, 0.5, suffix="s", label="Delay"),
+        ParamSpec("seconds", 0.0, 1.0, 0.5, suffix="s", label="Delay",
+                  static=True),
         ParamSpec("decay", 0.0, 1.0, 0.5),
     ),
 )

@@ -39,13 +39,14 @@ class BiQuad:
 
     @staticmethod
     def process_seq(params, state, inputs):
-        # f32 division by a0 as in regenerate_filter (biquad.rs:64-71)
-        a0 = np.float32(params["a0"])
-        a1 = np.float32(params["a1"]) / a0
-        a2 = np.float32(params["a2"]) / a0
-        b0 = np.float32(params["b0"]) / a0
-        b1 = np.float32(params["b1"]) / a0
-        b2 = np.float32(params["b2"]) / a0
+        # f32 division by a0 as in regenerate_filter (biquad.rs:64-71);
+        # jnp so coefficients stay differentiable/traceable
+        a0 = jnp.asarray(params["a0"], jnp.float32)
+        a1 = jnp.asarray(params["a1"], jnp.float32) / a0
+        a2 = jnp.asarray(params["a2"], jnp.float32) / a0
+        b0 = jnp.asarray(params["b0"], jnp.float32) / a0
+        b1 = jnp.asarray(params["b1"], jnp.float32) / a0
+        b2 = jnp.asarray(params["b2"], jnp.float32) / a0
         y, (x1, x2, y1, y2) = biquad_df1(
             inputs["in"], a1, a2, b0, b1, b2,
             (state["x1"], state["x2"], state["y1"], state["y2"]))
@@ -72,8 +73,8 @@ class LowPass:
 
     @staticmethod
     def process_seq(params, state, inputs):
-        r = np.float32(params["ratio"])
-        b = inputs["in"] * np.float32(1.0 - r)
+        r = jnp.asarray(params["ratio"], jnp.float32)
+        b = inputs["in"] * (jnp.float32(1.0) - r)
         y = first_order_affine(r, b, state["z"])
         return {"out": y}, {"z": y[..., -1]}
 
@@ -94,8 +95,8 @@ class HighPass:
     @staticmethod
     def process_seq(params, state, inputs):
         x = inputs["in"]
-        r = np.float32(params["ratio"])
-        z = first_order_affine(r, x * np.float32(1.0 - r), state["z"])
+        r = jnp.asarray(params["ratio"], jnp.float32)
+        z = first_order_affine(r, x * (jnp.float32(1.0) - r), state["z"])
         return {"out": x - z}, {"z": z[..., -1]}
 
 

@@ -29,6 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from dsp_stuff_tpu.utils.precision import get_policy
+
 
 def delay_samples(seconds: float, sample_rate: int = 48_000,
                   block_size: int = 128) -> int:
@@ -41,17 +43,26 @@ def feedback_comb(x, decay, delay: int, history=None):
 
     history -- [..., D] previous outputs (newest last), zeros if None.
     Returns (y, new_history).
-    """
+
+    Lowering by policy: the inter-chunk recurrence chunk_k = x_k +
+    decay * chunk_{k-1} is first-order affine in [D]-vectors, so 'fast'
+    uses a log-depth associative scan over the T/D chunks (a T=60 s render
+    at D=2400 would otherwise crawl through 1200 sequential scan steps of
+    trivial per-step work); 'parity'/'exact' keep the sequential scan,
+    whose per-sample op order (t = delayed*decay; y = x + t) matches the
+    reference bit-for-bit."""
     f32 = jnp.float32
     x = jnp.asarray(x, f32)
     D = int(delay)
     if history is None:
         history = jnp.zeros((*x.shape[:-1], D), f32)
-    return _feedback_comb_jit(x, jnp.asarray(decay, f32), history, D)
+    associative = get_policy().name == "fast"
+    return _feedback_comb_jit(x, jnp.asarray(decay, f32), history, D,
+                              associative)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _feedback_comb_jit(x, decay, history, D: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _feedback_comb_jit(x, decay, history, D: int, associative: bool):
     f32 = jnp.float32
     T = x.shape[-1]
     batch = x.shape[:-1]
@@ -61,11 +72,25 @@ def _feedback_comb_jit(x, decay, history, D: int):
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     xc = jnp.moveaxis(xp.reshape(*batch, nchunks, D), -2, 0)   # [K, ..., D]
 
-    def step(prev, xk):
-        y = xk + prev * decay
-        return y, y
+    if associative and nchunks > 1:
+        # fold the carried history into chunk 0, then scan the affine maps
+        xc = xc.at[0].add(history * decay)
+        a = jnp.full((nchunks,) + (1,) * (xc.ndim - 1), decay, f32)
 
-    last, yc = jax.lax.scan(step, history, xc)
+        def combine(l, r):
+            a1, b1 = l
+            a2, b2 = r
+            return a2 * a1, a2 * b1 + b2
+
+        _, yc = jax.lax.associative_scan(combine, (a, xc), axis=0)
+        last = yc[-1]
+    else:
+        def step(prev, xk):
+            y = xk + prev * decay
+            return y, y
+
+        last, yc = jax.lax.scan(step, history, xc)
+
     y = jnp.moveaxis(yc, 0, -2).reshape(*batch, nchunks * D)[..., :T]
 
     if pad == 0:

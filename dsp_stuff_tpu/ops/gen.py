@@ -69,14 +69,26 @@ def _block_totals(freq, T, block_size, sample_rate, clock0):
 
     # clock carried across blocks, seeded with clock0:
     # c[k] = (c[k-1] + block_sum[k-1]) % 1 in f32 (signal_gen.rs:66-70)
-    def carry_step(c, bs):
-        nc = jnp.mod(c + bs, 1.0)
-        return nc, c
-
     c0 = jnp.broadcast_to(jnp.asarray(clock0, f32), batch)
-    final_clock, clocks = jax.lax.scan(
-        carry_step, c0, jnp.moveaxis(block_sum, -1, 0))
-    clocks = jnp.moveaxis(clocks, 0, -1)                          # [..., nb]
+    if get_policy().name == "fast":
+        # The per-block mod makes the chain non-associative in f32, but
+        # mathematically c[k] = (c0 + sum(bs[:k])) % 1; an f64 cumsum is
+        # exact to ~2^-40 over hours of audio, so one vectorized pass
+        # replaces a T/128-step sequential scan (22.5k steps per minute).
+        csum = jnp.cumsum(block_sum.astype(jnp.float64), axis=-1)
+        shifted = jnp.concatenate(
+            [jnp.zeros((*batch, 1), jnp.float64), csum], axis=-1)
+        cl = jnp.mod(c0[..., None].astype(jnp.float64) + shifted, 1.0)
+        clocks = cl[..., :-1].astype(f32)                         # [..., nb]
+        final_clock = cl[..., -1].astype(f32)
+    else:
+        def carry_step(c, bs):
+            nc = jnp.mod(c + bs, 1.0)
+            return nc, c
+
+        final_clock, clocks = jax.lax.scan(
+            carry_step, c0, jnp.moveaxis(block_sum, -1, 0))
+        clocks = jnp.moveaxis(clocks, 0, -1)                      # [..., nb]
     return (totals.reshape(*batch, T),
             jnp.repeat(clocks, block_size, axis=-1),
             final_clock)

@@ -45,6 +45,10 @@ class ParamSpec:
     suffix: str = ""
     save: bool = True
     label: str | None = None
+    # structural parameter: fixes compiled shapes (e.g. a delay-line length),
+    # so it is baked in at trace time and excluded from the differentiable
+    # parameter pytree (CompiledGraph.init_params)
+    static: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,3 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 if not os.environ.get("DST_TEST_TPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _restore_precision_policy():
+    """Tests default to the 'parity' policy; anything that switches policy
+    (directly or via entry points) must not leak into later tests."""
+    from dsp_stuff_tpu.utils import precision
+    prev = precision.get_policy()
+    yield
+    precision.set_policy(prev)

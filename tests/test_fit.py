@@ -1,0 +1,88 @@
+"""Differentiable parameter fitting (train/fit.py) and the params pytree."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dsp_stuff_tpu as dst
+from dsp_stuff_tpu.ids import IdSpace
+from dsp_stuff_tpu.train.fit import fit, make_train_step
+from dsp_stuff_tpu.utils import precision
+
+
+def _chain_graph():
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    gn = g.add("gain", level=1.0)
+    lp = g.add("low_pass", ratio=0.3)
+    out = g.add("output")
+    g.chain(inp, gn, lp, out)
+    return g, inp, gn, lp
+
+
+def test_init_params_pytree():
+    g, inp, gn, lp = _chain_graph()
+    cg = dst.compile_graph(g)
+    p = cg.init_params()
+    assert float(p[str(gn.id)]["level"]) == 1.0
+    assert float(p[str(lp.id)]["ratio"]) == pytest.approx(0.3)
+    # static / field params excluded
+    assert str(inp.id) not in p
+
+
+def test_params_override_render():
+    g, inp, gn, lp = _chain_graph()
+    cg = dst.compile_graph(g)
+    x = np.random.default_rng(0).standard_normal(512).astype(np.float32) * 0.3
+    ext = {str(inp.id): x}
+    base, _, _ = cg.render(ext)
+    p = cg.init_params()
+    p[str(gn.id)]["level"] = jnp.float32(2.0)
+    doubled, _, _ = cg.render(ext, params=p)
+    # low_pass(2x) == 2*low_pass(x) only up to f32 rounding
+    np.testing.assert_allclose(np.asarray(doubled), np.asarray(base) * 2.0,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_reverb_seconds_is_static():
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    rv = g.add("reverb", seconds=0.01, decay=0.5)
+    out = g.add("output")
+    g.chain(inp, rv, out)
+    cg = dst.compile_graph(g)
+    p = cg.init_params()
+    assert "seconds" not in p[str(rv.id)]
+    assert "decay" in p[str(rv.id)]
+
+
+def test_fit_recovers_gain():
+    """Render a target with level=2.5, fit starting from level=1.0."""
+    with precision.policy("fast"):
+        g, inp, gn, lp = _chain_graph()
+        cg = dst.compile_graph(g)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 512)).astype(np.float32) * 0.3
+        ext = {str(inp.id): x}
+        true = cg.init_params()
+        true[str(gn.id)]["level"] = jnp.float32(2.5)
+        target = jnp.stack(
+            [jax.vmap(cg.fn, in_axes=(None, 0, None))(
+                cg.init_state(), ext, true)[1][i]
+             for i in cg.output_ids], axis=-2)
+        import optax
+        params, losses = fit(cg, ext, target, steps=250,
+                             optimizer=optax.adam(0.05))
+    assert losses[-1] < 1e-6, losses[-1]
+    assert float(params[str(gn.id)]["level"]) == pytest.approx(2.5, abs=0.02)
+
+
+def test_train_step_sharded_mesh():
+    """One training step with the batch sharded over all (8 virtual) devices:
+    the dryrun_multichip path."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(len(jax.devices()))

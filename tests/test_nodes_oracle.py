@@ -243,3 +243,70 @@ def test_mod_mapping():
     got = np.asarray(_map_mod(x, p))
     want = oracle.mod_map(x, 0.0, 10.0)
     assert_dbfs(got, want, -120.0)
+
+
+def test_reverb_comb_fast_policy():
+    """The 'fast' associative-scan lowering must still track the oracle to
+    the -90 dBFS bar (it reassociates the decay products)."""
+    x = sig(48_000)
+    with precision.policy("fast"):
+        got, _ = delay_line.feedback_comb(x, np.float32(0.8), 2400)
+    want, _ = oracle.reverb(x, 0.05, 0.8)
+    assert_dbfs(np.asarray(got), want)
+
+
+def test_signal_gen_fast_policy_clock():
+    """'fast' replaces the sequential per-block clock chain with an f64
+    cumsum + mod; over 30 s of audio it must stay within the parity bar
+    EXCEPT at mod-wrap knife edges, where a 1-ulp phase difference flips
+    the triangle by full scale -- so compare phase via sine (smooth) and
+    check the final clock."""
+    Tn = 48_000 * 30
+    with precision.policy("fast"):
+        got, clock_f = gen_ops.oscillator("Sine", 0.5, 440.0, Tn)
+    with precision.policy("parity"):
+        want, clock_p = gen_ops.oscillator("Sine", 0.5, 440.0, Tn)
+    assert_dbfs(np.asarray(got), np.asarray(want), -90.0)
+    assert abs(float(clock_f) - float(clock_p)) < 1e-5
+
+
+@pytest.mark.parametrize("T", [100, 256, 1000, 5000])
+def test_first_order_blocked_fast_policy(T):
+    """The MXU-blocked constant-a lowering (fast policy) vs the oracle."""
+    x = sig(T)
+    with precision.policy("fast"):
+        got = np.asarray(scan.first_order_affine(
+            np.float32(0.9), x * np.float32(0.1), np.float32(0.3)))
+    want, _ = oracle.low_pass(x, 0.9, np.float32(0.3))
+    assert_dbfs(got, want, -90.0)
+
+
+@pytest.mark.parametrize("coeffs", [
+    (1.0, -0.24, 0.0, 0.758, 0.0, 0.0),
+    (1.0, -1.8, 0.81, 0.1, 0.2, 0.1),     # resonant: worst case ~-89 dBFS
+    (2.0, -1.2, 0.5, 0.4, 0.2, 0.1),
+])
+def test_biquad_blocked_fast_policy(coeffs):
+    x = sig(3000)
+    a0, a1, a2, b0, b1, b2 = coeffs
+    f = np.float32
+    with precision.policy("fast"):
+        got, st = scan.biquad_df1(x, f(f(a1) / f(a0)), f(f(a2) / f(a0)),
+                                  f(f(b0) / f(a0)), f(f(b1) / f(a0)),
+                                  f(f(b2) / f(a0)))
+    want, stw = oracle.biquad_df1(x, *coeffs)
+    assert_dbfs(np.asarray(got), want, -88.0)
+    for a, b in zip(st, stw):
+        assert abs(float(a) - float(b)) < 1e-4
+
+
+def test_biquad_blocked_state_carry_fast():
+    x = sig(1024)
+    f = np.float32
+    args = (f(-0.24), f(0.0), f(0.758), f(0.0), f(0.0))
+    with precision.policy("fast"):
+        y_full, _ = scan.biquad_df1(x, *args)
+        y1, st = scan.biquad_df1(x[:500], *args)
+        y2, _ = scan.biquad_df1(x[500:], *args, state=st)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    assert_dbfs(got, np.asarray(y_full), -120.0)
