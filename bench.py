@@ -33,7 +33,8 @@ import numpy as np
 
 
 SECONDS = 60.0          # audio length per timed render
-N_TIMED = 10            # timed repetitions (best-of)
+N_CHAIN = 10            # chained renders per timing (state-fed, serialized)
+N_TIMED = 3             # timings (best-of)
 SR = 48_000
 
 
@@ -90,22 +91,31 @@ def main():
     x = (rng.standard_normal((2, 1, T)) * 0.25).astype(np.float32)  # stereo
 
     # --- throughput (fast policy) ---
-    # inputs/state live on-device before timing: the metric is chip
-    # throughput; host->device staging is measured separately below
+    # Timing protocol: N_CHAIN renders chained through the carried state
+    # (a true data dependency, so they serialize), then ONE scalar host
+    # fetch.  block_until_ready is NOT a reliable completion barrier over
+    # the remote-PJRT tunnel (it returns before execution finishes); only
+    # a host fetch is.  Chaining amortizes the ~27 ms fetch round-trip.
+    import jax.numpy as jnp
     with precision.policy("fast"):
         cg = dst.compile_graph(g)
-        state = jax.device_put(cg.init_state())
+        state = jax.device_put(cg.broadcast_state(cg.init_state(), (2,)))
         ext = jax.device_put({str(inp_id): x[:, 0, :]})
-        fn = jax.jit(jax.vmap(cg.fn, in_axes=(None, 0, None)))
-        out = fn(state, ext, None)
-        jax.block_until_ready(out)                        # compile + warm
+        fn = jax.jit(jax.vmap(cg.fn, in_axes=(0, 0, None)))
+        oid = cg.output_ids[0]
+
+        def run_chain(state):
+            for _ in range(N_CHAIN):
+                state, outs, _ = fn(state, ext, None)
+            return float(jnp.sum(outs[oid]))              # completion barrier
+
+        run_chain(state)                                  # compile + warm
         best = float("inf")
         for _ in range(N_TIMED):
             t0 = time.perf_counter()
-            out = fn(state, ext, None)
-            jax.block_until_ready(out)
+            run_chain(state)
             best = min(best, time.perf_counter() - t0)
-    rtf = SECONDS / best
+    rtf = SECONDS * N_CHAIN / best
 
     # --- accuracy vs oracle (parity policy, 1 s) ---
     Ta = SR

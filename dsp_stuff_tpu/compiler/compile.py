@@ -107,6 +107,13 @@ class CompiledGraph:
         the handle the gradient-fitting path (train/fit.py) optimizes."""
         return self._init_params()
 
+    def broadcast_state(self, state, batch_shape: tuple[int, ...]):
+        """Tile a (fresh, unbatched) state pytree across leading batch axes
+        so it can be carried through a vmapped fn (in_axes=0 for state)."""
+        return jax.tree.map(
+            lambda s: jnp.broadcast_to(jnp.asarray(s),
+                                       (*batch_shape, *jnp.shape(s))), state)
+
     @functools.cached_property
     def jit_fn(self):
         return jax.jit(self.fn)

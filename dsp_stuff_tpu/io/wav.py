@@ -21,7 +21,15 @@ SAMPLE_RATE = 48_000
 
 
 def read_wav(path: str):
-    """Returns (data [channels, T] float32 in [-1, 1], sample_rate)."""
+    """Returns (data [channels, T] float32 in [-1, 1], sample_rate).
+    Uses the native decoder (native/dsp_host.cpp) when built."""
+    from dsp_stuff_tpu.io import native
+    if native.available():
+        return native.wav_read(path)
+    return _read_wav_py(path)
+
+
+def _read_wav_py(path: str):
     with open(path, "rb") as f:
         riff = f.read(12)
         if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
@@ -70,7 +78,15 @@ def read_wav(path: str):
 
 def write_wav(path: str, data, sample_rate: int = SAMPLE_RATE,
               float_format: bool = True):
-    """data: [T] or [channels, T] float32."""
+    """data: [T] or [channels, T] float32.  Native encoder when built."""
+    from dsp_stuff_tpu.io import native
+    if native.available():
+        return native.wav_write(path, data, sample_rate, float_format)
+    return _write_wav_py(path, data, sample_rate, float_format)
+
+
+def _write_wav_py(path: str, data, sample_rate: int = SAMPLE_RATE,
+                  float_format: bool = True):
     data = np.asarray(data, np.float32)
     if data.ndim == 1:
         data = data[None]
