@@ -1,4 +1,4 @@
-"""Reverb node -- actually a feedback echo/delay (see ops/delay_line.py)."""
+"""Delay-family nodes: Reverb (feedback echo) and Chorus (modulated tap)."""
 
 from __future__ import annotations
 
@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from dsp_stuff_tpu.registry import register_node, ParamSpec
 from dsp_stuff_tpu.ops.delay_line import feedback_comb, delay_samples
+from dsp_stuff_tpu.ops.modfx import modulated_delay, max_delay_samples
 
 
 @register_node(
@@ -38,3 +39,34 @@ class Reverb:
         D = state["ring"].shape[-1]
         y, ring = feedback_comb(inputs["in"], params["decay"], D, state["ring"])
         return {"out": y}, {"ring": ring}
+
+
+@register_node(
+    title="Chorus", cfg_name="chorus",
+    description="Sine-modulated fractional delay (chorus/flanger/vibrato)",
+    inputs=("in",), outputs=("out",),
+    params=(
+        ParamSpec("rate", 0.05, 10.0, 1.0, suffix=" hz", as_input=True),
+        ParamSpec("depth", 0.0, 0.02, 0.003, suffix="s", static=True),
+        ParamSpec("base", 0.0, 0.05, 0.01, suffix="s", static=True),
+        ParamSpec("mix", 0.0, 1.0, 0.5, as_input=True),
+    ),
+)
+class Chorus:
+    """Extension node (no reference analog; BASELINE.json config #2 needs
+    modulated fractional taps).  base/depth fix the history length, so they
+    are structural; rate and mix are modulatable/differentiable.  See
+    ops/modfx.py for the vectorized gather lowering."""
+
+    @staticmethod
+    def init_state(cfg, block_size):
+        L = max_delay_samples(float(cfg["base"]), float(cfg["depth"]))
+        return {"hist": jnp.zeros((L,), jnp.float32),
+                "t0": jnp.int32(0)}
+
+    @staticmethod
+    def process_seq(params, state, inputs):
+        y, hist, t0 = modulated_delay(
+            inputs["in"], params["rate"], params["depth"], params["base"],
+            params["mix"], state["hist"], state["t0"])
+        return {"out": y}, {"hist": hist, "t0": t0}

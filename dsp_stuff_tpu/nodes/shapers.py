@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from dsp_stuff_tpu.registry import register_node, ParamSpec, SelectSpec
 from dsp_stuff_tpu.ops import shaping
+from dsp_stuff_tpu.ops.oversample import oversampled
 
 
 @register_node(
@@ -14,6 +15,9 @@ from dsp_stuff_tpu.ops import shaping
     params=(
         ParamSpec("level", 0.0, 30.0, 0.0, as_input=True),
         SelectSpec("mode", tuple(shaping.DISTORT_MODES), "SoftClip"),
+        # extension beyond the reference (whose Distort aliases): polyphase
+        # anti-aliased shaping at 2/4/8x rate (ops/oversample.py)
+        SelectSpec("oversample", ("1", "2", "4", "8"), "1"),
     ),
 )
 class Distort:
@@ -24,8 +28,14 @@ class Distort:
 
     @staticmethod
     def process_seq(params, state, inputs, *, T=None, block_size=128):
+        R = int(params.get("oversample", "1"))
         if params["mode"] == "Fuzz":
+            # block-max normalization is defined at the base rate; the
+            # reference quirk is kept un-oversampled
             y = shaping.fuzz(inputs["in"], params["level"], block_size)
+        elif R > 1:
+            y = oversampled(shaping.DISTORT_MODES[params["mode"]],
+                            inputs["in"], R, params["level"])
         else:
             y = shaping.DISTORT_MODES[params["mode"]](inputs["in"],
                                                       params["level"])
@@ -39,15 +49,22 @@ class Distort:
         ParamSpec("boost", 0.0, 30.0, 0.0, as_input=True),
         ParamSpec("drive", 0.0, 1.0, 0.0, as_input=True),
         ParamSpec("level", 0.0, 1.0, 0.0, as_input=True),
+        SelectSpec("oversample", ("1", "2", "4", "8"), "1"),
     ),
 )
 class Overdrive:
-    """atan overdrive (overdrive.rs:31-43)."""
+    """atan overdrive (overdrive.rs:31-43); optional anti-aliased
+    oversampling (extension, ops/oversample.py)."""
 
     @staticmethod
     def process_seq(params, state, inputs):
-        y = shaping.overdrive(inputs["in"], params["boost"], params["drive"],
-                              params["level"])
+        R = int(params.get("oversample", "1"))
+        if R > 1:
+            y = oversampled(shaping.overdrive, inputs["in"], R,
+                            params["boost"], params["drive"], params["level"])
+        else:
+            y = shaping.overdrive(inputs["in"], params["boost"],
+                                  params["drive"], params["level"])
         return {"out": y}, state
 
 

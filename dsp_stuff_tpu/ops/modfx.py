@@ -1,0 +1,64 @@
+"""Modulated fractional-delay effects (chorus / flanger / vibrato core).
+
+Extension beyond the reference's 21 nodes (it has no chorus; BASELINE.json
+config #2 calls for "ring-buffer delay lines with modulated fractional
+taps").  TPU-first shape: the whole modulated tap is one vectorized gather —
+
+    d[t]   = base + depth * sin(2*pi*rate*t/sr + phase0)     (samples)
+    pos[t] = t - d[t]
+    y[t]   = lerp(x[floor(pos)], x[floor(pos)+1], frac)      (linear interp)
+
+with the history prefix carried as state so segments chain seamlessly.
+No sequential loop anywhere: an LFO is closed-form in absolute time, so the
+delay trajectory for a whole render materializes at once.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+TAU = 2.0 * np.pi
+
+
+def max_delay_samples(base_s: float, depth_s: float,
+                      sample_rate: int = 48_000) -> int:
+    """Static history length for a chorus line (structural param)."""
+    return int(np.ceil((base_s + depth_s) * sample_rate)) + 2
+
+
+def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
+                    sample_rate: int = 48_000):
+    """Apply a sine-modulated fractional delay along the last axis.
+
+    x     -- [..., T] dry signal
+    hist  -- [..., L] previous inputs (newest last; L = max_delay_samples)
+    t0    -- absolute sample index of x[..., 0] (int32 scalar or [...]) for
+             LFO phase continuity across segments
+    Returns (y [..., T], new_hist, new_t0).
+    """
+    f32 = jnp.float32
+    x = jnp.asarray(x, f32)
+    T = x.shape[-1]
+    L = hist.shape[-1]
+    xx = jnp.concatenate([hist, x], axis=-1)               # [..., L+T]
+
+    t_abs = jnp.asarray(t0, jnp.int32)[..., None] + jnp.arange(T)   # [..., T]
+    d = (jnp.asarray(base_s, f32) * sample_rate
+         + jnp.asarray(depth_s, f32) * sample_rate
+         * jnp.sin(f32(TAU) * jnp.asarray(rate_hz, f32)
+                   * t_abs.astype(f32) / f32(sample_rate)))
+    pos = (L + jnp.arange(T, dtype=f32)) - d               # index into xx
+    pos = jnp.clip(pos, 0.0, L + T - 2)
+    i = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - i.astype(f32)
+    a = jnp.take_along_axis(xx, jnp.broadcast_to(i, (*xx.shape[:-1], T)),
+                            axis=-1)
+    b = jnp.take_along_axis(xx, jnp.broadcast_to(i + 1, (*xx.shape[:-1], T)),
+                            axis=-1)
+    wet = a * (1.0 - frac) + b * frac
+    mix = jnp.asarray(mix, f32)
+    y = x * (1.0 - mix) + wet * mix
+    new_hist = xx[..., -L:]
+    new_t0 = jnp.asarray(t0, jnp.int32) + T
+    return y, new_hist, new_t0
