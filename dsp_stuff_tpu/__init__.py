@@ -28,6 +28,8 @@ from dsp_stuff_tpu.registry import REGISTRY, register_node, NodeSpec
 from dsp_stuff_tpu.graph import Graph, GraphNode, load_graph, loads_graph, save_graph, dumps_graph
 from dsp_stuff_tpu.compiler.compile import compile_graph, CompiledGraph
 from dsp_stuff_tpu.runtime.session import render, render_file
+from dsp_stuff_tpu.runtime.stream import StreamSession
+from dsp_stuff_tpu.runtime.checkpoint import save_checkpoint, load_checkpoint
 
 # Importing the node library registers every node type.
 import dsp_stuff_tpu.nodes  # noqa: F401
@@ -40,6 +42,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Graph", "GraphNode", "load_graph", "loads_graph", "save_graph", "dumps_graph",
     "compile_graph", "CompiledGraph", "render", "render_file",
+    "StreamSession", "save_checkpoint", "load_checkpoint",
     "REGISTRY", "register_node", "NodeSpec",
     "PrecisionPolicy", "get_policy", "set_policy", "policy",
     "BLOCK_SIZE", "SAMPLE_RATE",

@@ -42,6 +42,13 @@ from dsp_stuff_tpu.compiler.scc import condensation_topo_order
 
 EXTERNAL = "__external__"
 
+# Optional observability hook: when set to a callable
+# (node_id, cfg_name, outs_dict) it is invoked after every node evaluation
+# at trace/eager time (utils/obs.debug_render uses it for per-node stats;
+# the reference's analog is #[tracing::instrument] on process(),
+# e.g. gain.rs:26).  None (the default) costs nothing.
+NODE_HOOK = None
+
 
 def _fanin_divisor(n: int) -> np.float32:
     """num_frames starts at 0.0001 and gains 1.0 per connected pipe, in f32
@@ -277,6 +284,8 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
                 params = _resolve_params(node, in_sigs, T, pdict)
                 outs, new_st = _call(impl, params, state[str(nid)], inputs,
                                      T, block_size)
+                if NODE_HOOK is not None:
+                    NODE_HOOK(nid, node.cfg_name, outs)
                 state[str(nid)] = new_st
                 for port in node.spec.outputs:
                     values[(nid, port)] = outs[port]
@@ -367,6 +376,8 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
                 params = _resolve_params(node, in_sigs, B, pdict)
                 outs, new_st = _call_block(impl, params, st[str(nid)], inputs,
                                            block_size)
+                if NODE_HOOK is not None:
+                    NODE_HOOK(nid, node.cfg_name, outs)
                 st[str(nid)] = new_st
                 for port in node.spec.outputs:
                     cur[(nid, port)] = outs[port]

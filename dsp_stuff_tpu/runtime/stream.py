@@ -1,0 +1,155 @@
+"""Streaming block session: the live-rack operating mode.
+
+The reference processes audio as an endless stream of 128-sample blocks
+pulled through per-node tasks (node.rs:267-352).  The TPU analog keeps ONE
+compiled block-step function and carries the state pytree across calls:
+
+    sess = StreamSession(graph)            # compiles once
+    out = sess.process(in_block)           # [block] in -> [n_out, block] out
+
+Device I/O (the cpal analog) is modeled by host-side ring buffers
+(native/dsp_host.cpp SPSC rings when built, a NumPy deque otherwise) with
+the reference's failure semantics: write overrun drops the excess
+(devices.rs:239-241), read underrun zero-fills (devices.rs:436-440), and
+``resync()`` drains every ring (runtime.rs:524-526, 587-594).
+
+Practical note: per-block dispatch latency makes tiny blocks pointless on a
+remote TPU; ``block_size`` may be any multiple of 128 — semantics that
+depend on the 128 frame (Fuzz block-max, signal_gen phase wrap) are
+evaluated on the 128 grid inside the step regardless.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import jax
+import numpy as np
+
+from dsp_stuff_tpu.compiler.compile import compile_graph
+from dsp_stuff_tpu.graph import Graph
+
+
+class _PyRing:
+    """NumPy fallback for native.Ring with identical semantics."""
+
+    def __init__(self, capacity: int = 8192):
+        self._cap = capacity
+        self._q: collections.deque = collections.deque()
+
+    def write(self, x) -> int:
+        x = np.asarray(x, np.float32).ravel()
+        k = min(x.size, self._cap - len(self._q))
+        self._q.extend(x[:k].tolist())
+        return k
+
+    def read(self, n: int) -> np.ndarray:
+        k = min(n, len(self._q))
+        out = np.fromiter((self._q.popleft() for _ in range(k)), np.float32,
+                          count=k)
+        return out
+
+    @property
+    def readable(self) -> int:
+        return len(self._q)
+
+    @property
+    def writable(self) -> int:
+        return self._cap - len(self._q)
+
+    def drain(self) -> None:
+        self._q.clear()
+
+
+def make_ring(capacity: int = 8192):
+    """Native SPSC ring when built, NumPy fallback otherwise.
+    8192 is the reference's per-link capacity (runtime.rs:568)."""
+    from dsp_stuff_tpu.io import native
+    if native.available():
+        return native.Ring(capacity)
+    return _PyRing(capacity)
+
+
+class StreamSession:
+    """Carries compiled graph + state; processes fixed-size blocks."""
+
+    def __init__(self, graph: Graph, block_size: int = 128,
+                 ring_capacity: int = 8192, params=None):
+        if block_size % 128:
+            raise ValueError("block_size must be a multiple of 128 "
+                             "(the reference frame, node.rs:257)")
+        self.block_size = block_size
+        self.cg = compile_graph(graph, block_size=128)
+        self.state = self.cg.init_state()
+        self.params = params
+        self._fn = jax.jit(self.cg.fn)
+        # host-side device rings: one per Input node (capture) and one per
+        # Output node (playback)
+        self.in_rings = {nid: make_ring(ring_capacity)
+                         for nid in self.cg.input_ids}
+        self.out_rings = {nid: make_ring(ring_capacity)
+                          for nid in self.cg.output_ids}
+
+    # -- direct block API --------------------------------------------------
+
+    def process(self, inputs=None):
+        """Process one block.  inputs: {input_node_id: [block]} or
+        [n_inputs, block] or None (silence).  Returns [n_out, block]."""
+        B = self.block_size
+        ext = {}
+        if inputs is None:
+            ext = {str(i): np.zeros(B, np.float32) for i in self.cg.input_ids}
+        elif isinstance(inputs, dict):
+            ext = {str(k): np.asarray(v, np.float32) for k, v in inputs.items()}
+            for i in self.cg.input_ids:
+                ext.setdefault(str(i), np.zeros(B, np.float32))
+        else:
+            arr = np.atleast_2d(np.asarray(inputs, np.float32))
+            ext = {str(nid): arr[i]
+                   for i, nid in enumerate(self.cg.input_ids)}
+        if not ext:
+            ext["__len__"] = np.zeros(B, np.float32)
+        for v in ext.values():
+            if v.shape[-1] != B:
+                raise ValueError(f"block must be {B} samples, got {v.shape}")
+        self.state, outs, _aux = self._fn(self.state, ext, self.params)
+        out = np.stack([np.asarray(outs[i]) for i in self.cg.output_ids]) \
+            if self.cg.output_ids else np.zeros((0, B), np.float32)
+        return out
+
+    # -- ring-buffered device-style API -------------------------------------
+
+    def feed(self, node_id: int, samples) -> int:
+        """Capture-side write (overrun drops, devices.rs:239-241)."""
+        return self.in_rings[node_id].write(samples)
+
+    def pump(self) -> bool:
+        """Run one block if every input ring has a block buffered.
+        Output blocks land in the output rings.  Returns True if a block
+        was processed."""
+        B = self.block_size
+        if any(r.readable < B for r in self.in_rings.values()):
+            return False
+        ins = {nid: r.read(B) for nid, r in self.in_rings.items()}
+        out = self.process({str(k): v for k, v in ins.items()})
+        for i, nid in enumerate(self.cg.output_ids):
+            self.out_rings[nid].write(out[i])
+        return True
+
+    def drain_output(self, node_id: int, n: int) -> np.ndarray:
+        """Playback-side read; zero-fills on underrun (devices.rs:436-440)."""
+        got = self.out_rings[node_id].read(n)
+        if got.size < n:
+            got = np.concatenate([got, np.zeros(n - got.size, np.float32)])
+        return got
+
+    def resync(self) -> None:
+        """Drop all buffered audio (the Sync-output action,
+        runtime.rs:513-529 + 587-594); DSP state is kept, matching the
+        reference (resync drains pipes, not node state)."""
+        for r in (*self.in_rings.values(), *self.out_rings.values()):
+            r.drain()
+
+    def reset(self) -> None:
+        """Fresh DSP state (the restart_node analog, runtime.rs:153)."""
+        self.state = self.cg.init_state()

@@ -1,0 +1,125 @@
+"""Streaming session, checkpoint/resume, observability."""
+
+import numpy as np
+import pytest
+
+import dsp_stuff_tpu as dst
+from dsp_stuff_tpu.ids import IdSpace
+from dsp_stuff_tpu.runtime.stream import StreamSession, make_ring
+from dsp_stuff_tpu.runtime import checkpoint as ckpt
+from dsp_stuff_tpu.utils import obs, precision
+
+RNG = np.random.default_rng(0)
+
+
+def _chain():
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    lp = g.add("low_pass", ratio=0.8)
+    rv = g.add("reverb", seconds=0.01, decay=0.6)
+    out = g.add("output")
+    g.chain(inp, lp, rv, out)
+    return g, inp.id
+
+
+def test_stream_matches_offline():
+    """Block-by-block streaming must equal the one-shot offline render."""
+    g, inp_id = _chain()
+    T = 1024
+    x = (RNG.standard_normal(T) * 0.3).astype(np.float32)
+    offline, _, _ = dst.render(g, {str(inp_id): x})
+
+    sess = StreamSession(g, block_size=128)
+    blocks = [sess.process({str(inp_id): x[i:i + 128]})
+              for i in range(0, T, 128)]
+    streamed = np.concatenate([b[0] for b in blocks])
+    np.testing.assert_allclose(streamed, offline[0], atol=1e-6)
+
+
+def test_stream_ring_pump():
+    g, inp_id = _chain()
+    sess = StreamSession(g, block_size=128)
+    assert not sess.pump()                      # no input buffered yet
+    x = (RNG.standard_normal(300) * 0.3).astype(np.float32)
+    sess.feed(inp_id, x)                        # 300 samples = 2 full blocks
+    assert sess.pump()
+    assert sess.pump()
+    assert not sess.pump()                      # only 44 left
+    out_id = sess.cg.output_ids[0]
+    got = sess.drain_output(out_id, 256)
+    assert got.shape == (256,)
+    # underrun zero-fills
+    more = sess.drain_output(out_id, 100)
+    assert np.all(more == 0.0)
+    # resync drains rings but keeps DSP state
+    sess.feed(inp_id, x)
+    sess.resync()
+    assert not sess.pump()
+
+
+def test_stream_block_multiple_of_128():
+    g, inp_id = _chain()
+    with pytest.raises(ValueError):
+        StreamSession(g, block_size=100)
+    sess = StreamSession(g, block_size=256)
+    x = (RNG.standard_normal(256) * 0.3).astype(np.float32)
+    out = sess.process({str(inp_id): x})
+    assert out.shape == (1, 256)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Resume mid-render must be bit-identical to an uninterrupted render."""
+    g, inp_id = _chain()
+    T = 1024
+    x = (RNG.standard_normal(T) * 0.3).astype(np.float32)
+    cg = dst.compile_graph(g)
+    full, _, _ = cg.render({str(inp_id): x})
+
+    half1, _, st = cg.render({str(inp_id): x[:512]})
+    p = str(tmp_path / "ck.npz")
+    ckpt.save_checkpoint(p, g, state=st, meta={"t": 512})
+    g2, st2, params2, meta = ckpt.load_checkpoint(p)
+    assert meta == {"t": 512}
+    cg2 = dst.compile_graph(g2)
+    half2, _, _ = cg2.render({str(cg2.input_ids[0]): x[512:]}, state=st2)
+    got = np.concatenate([np.asarray(half1)[0], np.asarray(half2)[0]])
+    np.testing.assert_array_equal(got, np.asarray(full)[0])
+
+
+def test_debug_render_reports_all_nodes():
+    g, inp_id = _chain()
+    x = (RNG.standard_normal(512) * 0.3).astype(np.float32)
+    outs, report = obs.debug_render(g, {str(inp_id): x})
+    cfgs = {r["cfg"] for r in report}
+    assert {"input", "low_pass", "reverb"} <= cfgs
+    assert all(r["nan"] == 0 for r in report)
+    assert outs.shape == (1, 512)
+
+
+def test_debug_render_flags_nan():
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    dt = g.add("distort", mode="Fuzz", level=4.0)   # NaN on silent blocks
+    out = g.add("output")
+    g.chain(inp, dt, out)
+    x = np.zeros(256, np.float32)
+    outs, report = obs.debug_render(g, {str(inp.id): x})
+    fuzz_recs = [r for r in report if r["cfg"] == "distort"]
+    assert fuzz_recs and fuzz_recs[0]["nan"] > 0
+
+
+def test_nan_guard():
+    fn = obs.nan_guard(lambda x: x / 0.0, "div")
+    with pytest.raises(FloatingPointError):
+        fn(np.float32(1.0))
+
+
+def test_make_ring_fallback_semantics():
+    from dsp_stuff_tpu.runtime.stream import _PyRing
+    for ring in (make_ring(64), _PyRing(64)):
+        assert ring.write(np.arange(50, dtype=np.float32)) == 50
+        assert ring.write(np.arange(50, dtype=np.float32)) == 14
+        got = ring.read(100)
+        assert got.size == 64
+        ring.drain()
+        assert ring.readable == 0
