@@ -92,28 +92,32 @@ def main():
 
     # --- throughput (fast policy) ---
     # Timing protocol: N_CHAIN renders chained through the carried state
-    # (a true data dependency, so they serialize), then ONE scalar host
-    # fetch.  block_until_ready is NOT a reliable completion barrier over
-    # the remote-PJRT tunnel (it returns before execution finishes); only
-    # a host fetch is.  Chaining amortizes the ~27 ms fetch round-trip.
+    # inside ONE jitted lax.scan (one XLA program, one dispatch — per-call
+    # dispatch through the remote-PJRT tunnel costs ~7 ms, which would
+    # otherwise dominate), then ONE scalar host fetch as the completion
+    # barrier (block_until_ready is NOT reliable over the tunnel).
     import jax.numpy as jnp
+    from jax import lax
     with precision.policy("fast"):
         cg = dst.compile_graph(g)
         state = jax.device_put(cg.broadcast_state(cg.init_state(), (2,)))
         ext = jax.device_put({str(inp_id): x[:, 0, :]})
-        fn = jax.jit(jax.vmap(cg.fn, in_axes=(0, 0, None)))
+        vfn = jax.vmap(cg.fn, in_axes=(0, 0, None))
         oid = cg.output_ids[0]
 
-        def run_chain(state):
-            for _ in range(N_CHAIN):
-                state, outs, _ = fn(state, ext, None)
-            return float(jnp.sum(outs[oid]))              # completion barrier
+        @jax.jit
+        def run_chain(state, ext):
+            def body(st, _):
+                st, outs, _aux = vfn(st, ext, None)
+                return st, jnp.sum(outs[oid])
+            st, sums = lax.scan(body, state, None, length=N_CHAIN)
+            return jnp.sum(sums)
 
-        run_chain(state)                                  # compile + warm
+        float(run_chain(state, ext))                      # compile + warm
         best = float("inf")
         for _ in range(N_TIMED):
             t0 = time.perf_counter()
-            run_chain(state)
+            float(run_chain(state, ext))                  # fetch = barrier
             best = min(best, time.perf_counter() - t0)
     rtf = SECONDS * N_CHAIN / best
 

@@ -178,6 +178,16 @@ class CompiledGraph:
                 for i, nid in enumerate(self.input_ids)}
 
 
+def apply_knob_writeback(graph: Graph, aux) -> Graph:
+    """Fold aux["__knobs__"] values back into the graph's slider settings
+    (host side), so a subsequent save reflects the knob positions the
+    reference UI would show after running (quirk SURVEY.md 2.4 #9)."""
+    for key, val in (aux.get("__knobs__") or {}).items():
+        nid_s, pname = key.split(":", 1)
+        graph.nodes[int(nid_s)].params[pname] = float(np.asarray(val).ravel()[-1])
+    return graph
+
+
 def _active_nodes(graph: Graph) -> set[int]:
     """Nodes with at least one connected link (the reference never starts a
     node with zero connections, runtime.rs:661-668)."""
@@ -299,8 +309,27 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
             sig, _ = _avg(port_sources(nid, "in", seq_lookup), T)
             outs[nid] = sig
 
+        # modulation knob writeback (reference quirk SURVEY.md 2.4 #9):
+        # every block, the derive-generated {field}_input() stores the first
+        # sample of the mapped modulation buffer back into the slider atomic
+        # (lib.rs:140-148), so after a render the knob sits at the mapped
+        # value of the LAST block's first sample (global index T - block).
+        # Emitted under aux["__knobs__"]; apply_knob_writeback() folds it
+        # back into the Graph before saving, mirroring save-after-run.
+        knobs = {}
+        for nid, node in nodes.items():
+            for p in node.spec.params:
+                if isinstance(p, ParamSpec) and p.as_input:
+                    srcs = port_sources(nid, p.name, seq_lookup)
+                    if srcs:
+                        sig, _ = _avg(srcs, T)
+                        knobs[f"{nid}:{p.name}"] = _map_mod(
+                            sig[..., T - block_size], p)
+
         # analysis sinks
         aux = {}
+        if knobs:
+            aux["__knobs__"] = knobs
         for nid in sink_ids:
             node = nodes[nid]
             impl = node.spec.impl

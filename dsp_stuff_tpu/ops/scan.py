@@ -59,11 +59,27 @@ def first_order_affine(a, b, y0):
                             pol.sequential_recurrences)
 
 
+def _use_pallas() -> bool:
+    """Route constant-a first-order recurrences through the Pallas kernel
+    (ops/pallas_scan.py) — opt-in via DST_PALLAS=1; it is a single-HBM-pass
+    variant of the same blocked algorithm, TPU backends only."""
+    import os
+    if os.environ.get("DST_PALLAS") != "1":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _first_order_jit(a, b, y0, internal_dtype, sequential):
     if sequential:
         return _first_order_sequential(a, b, y0)
     if a.ndim == 0 and internal_dtype == "float32" and b.shape[-1] >= 2:
+        if _use_pallas() and b.shape[-1] >= 1024:
+            from dsp_stuff_tpu.ops.pallas_scan import first_order_pallas
+            return first_order_pallas(a, b, y0)
         return _first_order_blocked(a, b, y0)
 
     dt = jnp.dtype(internal_dtype)
@@ -120,22 +136,39 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
                    pows[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
 
     z = jnp.einsum("...kc,cd->...kd", B, Lt,
-                   preferred_element_type=f32)             # [..., K, C]
+                   preferred_element_type=f32,
+                   precision=jax.lax.Precision.HIGHEST)    # [..., K, C]
 
-    # carry recurrence over chunks: e_k = a^C e_{k-1} + z[k, -1], e_{-1}=y0
+    # carry recurrence over chunks: e_k = a^C e_{k-1} + z[k, -1], e_{-1}=y0.
+    # This is itself a constant-coefficient first-order recurrence of
+    # length K, so recurse: T=2.88M resolves as 2-3 matmul levels
+    # (11250 -> 44 -> direct) instead of a log-K Blelloch scan whose ~14
+    # dispatch-bound passes dominated the op's runtime on v5e.
     aC = pows[C]
     ends = z[..., :, C - 1]                                # [..., K]
     y0b = jnp.broadcast_to(jnp.asarray(y0, f32), batch)
-    ends = ends.at[..., 0].add(aC * y0b)
-    aa = jnp.full((K,), aC, f32)
+    if K > C:
+        e = _first_order_blocked(aC, ends, y0b, C)
+    elif K > 8:
+        # single Toeplitz matmul level
+        i2 = jnp.arange(K)
+        pows2 = jnp.concatenate([jnp.ones((1,), f32),
+                                 jnp.cumprod(jnp.full((K,), aC, f32))])
+        Lt2 = jnp.where(i2[:, None] <= i2[None, :],
+                        pows2[jnp.clip(i2[None, :] - i2[:, None], 0, K)], 0.0)
+        ends0 = ends.at[..., 0].add(aC * y0b)
+        e = jnp.einsum("...k,kd->...d", ends0, Lt2,
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+    else:
+        def combine(l, r):
+            a1, b1 = l
+            a2, b2 = r
+            return a2 * a1, a2 * b1 + b2
 
-    def combine(l, r):
-        a1, b1 = l
-        a2, b2 = r
-        return a2 * a1, a2 * b1 + b2
-
-    _, e = jax.lax.associative_scan(
-        combine, (jnp.broadcast_to(aa, ends.shape), ends), axis=-1)
+        ends0 = ends.at[..., 0].add(aC * y0b)
+        aa = jnp.broadcast_to(jnp.full((K,), aC, f32), ends0.shape)
+        _, e = jax.lax.associative_scan(combine, (aa, ends0), axis=-1)
     # carry INTO chunk k is e_{k-1} (y0 for k = 0)
     carry_in = jnp.concatenate(
         [y0b[..., None], e[..., :-1]], axis=-1)            # [..., K]
@@ -295,7 +328,8 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     Lt = jnp.where(i[:, None] <= i[None, :],
                    h[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
     z = jnp.einsum("...kc,cd->...kd", F, Lt,
-                   preferred_element_type=f32)             # [..., K, C]
+                   preferred_element_type=f32,
+                   precision=jax.lax.Precision.HIGHEST)    # [..., K, C]
 
     # boundary-state recurrence s_k = M s_{k-1} + w_k over K chunks
     M = jnp.stack([jnp.stack([h[C], -a2 * h[C - 1]]),

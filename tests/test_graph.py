@@ -241,3 +241,56 @@ def test_analysis_sinks():
     assert voiced.any()
     est = freqs[voiced]
     assert np.all(np.abs(est - 440.0) < 5.0), est
+
+
+def test_knob_writeback():
+    """Quirk 2.4 #9: a connected modulation input drives the slider atomic;
+    after a render the knob holds the mapped value of the last block's
+    first sample."""
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.ids import IdSpace
+    from dsp_stuff_tpu.compiler.compile import apply_knob_writeback
+    import numpy as np
+
+    g = dst.Graph(IdSpace())
+    sg = g.add("signal_gen", mode="Constant", amplitude=0.5)  # mod signal 0.5
+    gn = g.add("gain", level=1.0)
+    inp = g.add("input")
+    out = g.add("output")
+    g.connect(inp, "out", gn, "in")
+    g.connect(sg, "out", gn, "level")        # modulate the level knob
+    g.connect(gn, "out", out, "in")
+
+    x = np.ones(256, np.float32)
+    outs, aux, _ = dst.render(g, {str(inp.id): x})
+    # mod signal 0.5 through single-pipe fan-in (/1.0001) then mapped over
+    # [0, 10]: ((0.49995+1)/2)*10 = 7.49975
+    knob = float(np.asarray(aux["__knobs__"][f"{gn.id}:level"]))
+    assert abs(knob - 7.49975) < 1e-3, knob
+    apply_knob_writeback(g, aux)
+    assert abs(g.nodes[gn.id].params["level"] - knob) < 1e-6
+
+
+def test_param_automation_arrays():
+    """Per-sample param automation: a [T] array in the params pytree
+    becomes a time-varying slider (the offline analog of turning a knob
+    while audio runs)."""
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.ids import IdSpace
+    import numpy as np
+    import jax.numpy as jnp
+
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    gn = g.add("gain", level=1.0)
+    out = g.add("output")
+    g.chain(inp, gn, out)
+    cg = dst.compile_graph(g)
+    T = 512
+    x = np.ones(T, np.float32)
+    ramp = jnp.linspace(0.0, 2.0, T).astype(jnp.float32)
+    p = cg.init_params()
+    p[str(gn.id)]["level"] = ramp
+    outs, _, _ = cg.render({str(inp.id): x}, params=p)
+    want = np.asarray(ramp) / np.float32(1.0001) / np.float32(1.0001)
+    np.testing.assert_allclose(np.asarray(outs)[0], want, rtol=1e-5)
