@@ -106,6 +106,20 @@ class Graph:
         for a, b in zip(steps, steps[1:]):
             self.connect(a, a.spec.outputs[0], b, b.spec.inputs[0])
 
+    def disconnect(self, link: Link) -> None:
+        """Remove one link (the link_destroyed path, runtime.rs:319-335;
+        node state restart is a compile-time concern here — recompiling
+        the graph starts every node fresh, like restart_node)."""
+        self.links.remove(link)
+
+    def remove_node(self, node: GraphNode | int) -> None:
+        """Remove a node and every link touching it (node-deletion path,
+        runtime.rs:364-402)."""
+        nid = node.id if isinstance(node, GraphNode) else node
+        del self.nodes[nid]
+        self.links = [l for l in self.links
+                      if l.src != nid and l.dst != nid]
+
     # -- queries ---------------------------------------------------------
 
     def in_links(self, nid: int, port: str) -> list[Link]:

@@ -71,16 +71,34 @@ def _conv_cgd(xp, h):
 
 
 def _fft_conv(x, h):
-    """FFT convolution (single big FFT; fine for offline renders).
+    """FFT convolution; overlap-save blocks when the signal is much longer
+    than the IR (BASELINE config #4 names overlap-save: bounded FFT size,
+    batched block transforms instead of one signal-length FFT).
     Accumulation dtype follows the precision policy."""
     T = x.shape[-1]
     N = h.shape[0]
-    n = T + N - 1
-    nfft = 1 << (n - 1).bit_length()
     dt = x.dtype
-    X = jnp.fft.rfft(x, nfft)
+    nfft_os = 1 << max(int(np.ceil(np.log2(max(2 * N, 2)))), 10)
+    if T <= 4 * nfft_os:
+        # short signal: one FFT is cheaper than framing
+        nfft = 1 << (T + N - 2).bit_length()
+        X = jnp.fft.rfft(x, nfft)
+        H = jnp.fft.rfft(h.astype(dt), nfft)
+        return jnp.fft.irfft(X * H, nfft)[..., :T].astype(dt)
+
+    # overlap-save: frames of nfft with N-1 samples of history each; every
+    # frame yields hop = nfft-(N-1) valid outputs after discarding the
+    # wrap-around prefix
+    nfft = nfft_os
+    hop = nfft - (N - 1)
+    K = -(-T // hop)
+    batch = x.shape[:-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(N - 1, K * hop - T)])
+    idx = jnp.arange(K)[:, None] * hop + jnp.arange(nfft)[None, :]
+    frames = xp[..., idx]                                  # [..., K, nfft]
     H = jnp.fft.rfft(h.astype(dt), nfft)
-    y = jnp.fft.irfft(X * H, nfft)[..., :T]
+    Y = jnp.fft.irfft(jnp.fft.rfft(frames, nfft) * H, nfft)
+    y = Y[..., N - 1:].reshape(*batch, K * hop)[..., :T]
     return y.astype(dt)
 
 

@@ -312,3 +312,54 @@ def test_biquad_blocked_state_carry_fast():
         y2, _ = scan.biquad_df1(x[500:], *args, state=st)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     assert_dbfs(got, np.asarray(y_full), -120.0)
+
+
+@pytest.mark.parametrize("n_taps,T", [(400, 10_000), (300, 50_000)])
+def test_fir_overlap_save_long_signal(n_taps, T):
+    """Long-signal FIR goes through the overlap-save path; must match the
+    sequential oracle."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(T).astype(np.float32)
+    taps_rev = rng.standard_normal(n_taps)
+    got, _ = fir_ops.fir_apply(x, taps_rev, None)
+    want, _ = oracle.fir(x, taps_rev)
+    assert_dbfs(np.asarray(got), want)
+
+
+def test_ir_loader_roundtrip(tmp_path):
+    """load_ir: channel-mean, optional resample, reversed taps
+    (fir.rs:69-176 pipeline)."""
+    from dsp_stuff_tpu.io import wav as wav_io
+    from dsp_stuff_tpu.io.ir import load_ir, set_fir_ir
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.ids import IdSpace
+
+    rng = np.random.default_rng(6)
+    ir = (rng.standard_normal((2, 256)) * 0.3).astype(np.float32)
+    p = str(tmp_path / "ir.wav")
+    wav_io.write_wav(p, ir, 48_000)
+    taps = load_ir(p)
+    want = ir.mean(axis=0)[::-1]
+    np.testing.assert_allclose(np.asarray(taps, np.float32), want, atol=1e-6)
+
+    g = dst.Graph(IdSpace())
+    f = g.add("fir")
+    set_fir_ir(g, f.id, p)
+    assert g.nodes[f.id].params["file_name"] == p
+    assert len(g.nodes[f.id].params["taps"]) == 256
+
+
+def test_graph_mutations():
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.ids import IdSpace
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    gn = g.add("gain")
+    out = g.add("output")
+    g.chain(inp, gn, out)
+    l_extra = g.connect(inp, "out", out, "in")
+    assert len(g.links) == 3
+    g.disconnect(l_extra)
+    assert len(g.links) == 2
+    g.remove_node(gn)
+    assert gn.id not in g.nodes and len(g.links) == 0
