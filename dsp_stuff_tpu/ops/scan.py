@@ -100,8 +100,10 @@ def _first_order_jit(a, b, y0, internal_dtype, sequential):
 
 
 # chunk length for MXU-blocked recurrences: y_chunk = B @ Lt is a
-# [K, C] @ [C, C] matmul -- 128/256 aligns with the MXU tile
-_BLOCK_C = 256
+# [K, C] @ [C, C] matmul.  128 == the MXU/lane tile: the [.., T] ->
+# [.., K, C] reshape is then layout-free, and the Toeplitz costs
+# C MACs/sample (halving C halved the whole op's measured time on v5e)
+_BLOCK_C = 128
 
 
 def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
@@ -309,15 +311,21 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     xp = jnp.concatenate([x2[..., None], x1[..., None], x], axis=-1)
     f = b0 * xp[..., 2:] + b1 * xp[..., 1:-1] + b2 * xp[..., :-2]
 
-    # truncated impulse response h[0..C] of y[t] = -a1 y[t-1] - a2 y[t-2]
-    def h_step(carry, _):
-        hm1, hm2 = carry
-        h = -a1 * hm1 - a2 * hm2
-        return (h, hm1), h
+    # truncated impulse response h[0..C] of y[t] = -a1 y[t-1] - a2 y[t-2],
+    # via an associative scan over companion-matrix powers (a C-step
+    # sequential lax.scan here measured ~430 us/render on v5e -- the
+    # whole rest of the op costs about that)
+    A1 = jnp.stack([jnp.stack([-a1, -a2]),
+                    jnp.asarray([1.0, 0.0], f32)])         # [2, 2]
+    Ab = jnp.broadcast_to(A1, (C, 2, 2))
 
-    _, h_tail = jax.lax.scan(h_step, (jnp.asarray(1.0, f32),
-                                      jnp.asarray(0.0, f32)), None, length=C)
-    h = jnp.concatenate([jnp.ones((1,), f32), h_tail])     # [C+1]
+    def h_combine(l, r):
+        return jnp.einsum("...ij,...jk->...ik", r, l,
+                          preferred_element_type=f32)
+
+    Apow = jax.lax.associative_scan(h_combine, Ab, axis=0)  # A^1..A^C
+    # h[t] = (A^t)[0, 0] applied to h-state [h0, h_-1] = [1, 0]
+    h = jnp.concatenate([jnp.ones((1,), f32), Apow[:, 0, 0]])   # [C+1]
 
     K = -(-T // C)
     pad = K * C - T
