@@ -72,7 +72,9 @@ def _feedback_comb_jit(x, decay, history, D: int, associative: bool):
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     xc = jnp.moveaxis(xp.reshape(*batch, nchunks, D), -2, 0)   # [K, ..., D]
 
-    if associative and nchunks > 1:
+    if associative and nchunks > 16:
+        yc, last = _comb_chunks_blocked(xc, decay, history)
+    elif associative and nchunks > 1:
         # fold the carried history into chunk 0, then scan the affine maps
         xc = xc.at[0].add(history * decay)
         a = jnp.full((nchunks,) + (1,) * (xc.ndim - 1), decay, f32)
@@ -99,3 +101,54 @@ def _feedback_comb_jit(x, decay, history, D: int, associative: bool):
         # last D true outputs (prepend old history in case T < D)
         new_hist = jnp.concatenate([history, y], axis=-1)[..., -D:]
     return y, new_hist
+
+
+def _comb_chunks_blocked(xc, decay, history, G: int = 128):
+    """Solve y_k = decay * y_{k-1} + x_k over the chunk axis with Toeplitz
+    matmuls (same scheme as ops/scan.py:_first_order_blocked, but the
+    recurrence elements are whole [D]-vectors).
+
+    XLA lowers a K-long associative_scan as a logarithmic while-loop of
+    dynamic slices (~1 ms/render at K=1200 on v5e); one batched
+    [G, G] x [K/G, G, D] contraction plus a tiny carry chain replaces it.
+
+    xc      -- [K, ..., D] chunk-major input
+    history -- [..., D] carry into chunk 0
+    Returns (yc [K, ..., D], last [..., D]).
+    """
+    f32 = jnp.float32
+    K = xc.shape[0]
+    KG = -(-K // G)
+    pad = KG * G - K
+    xp = jnp.pad(xc, [(0, pad)] + [(0, 0)] * (xc.ndim - 1))
+    Xg = xp.reshape(KG, G, *xc.shape[1:])                  # [KG, G, ..., D]
+
+    g = jnp.arange(G)
+    pows = jnp.concatenate([jnp.ones((1,), f32),
+                            jnp.cumprod(jnp.full((G,), decay, f32))])
+    # LtG[i, j] = decay^(i-j) for i >= j (column orientation)
+    LtG = jnp.where(g[:, None] >= g[None, :],
+                    pows[jnp.clip(g[:, None] - g[None, :], 0, G)], 0.0)
+
+    z = jnp.einsum("ij,kj...->ki...", LtG, Xg,
+                   preferred_element_type=f32,
+                   precision=jax.lax.Precision.HIGHEST)    # [KG, G, ..., D]
+
+    # carry across super-chunks: e_m = decay^G e_{m-1} + z[m, -1], e_-1=hist
+    dG = pows[G]
+    ends = z[:, G - 1]                                     # [KG, ..., D]
+    ends = ends.at[0].add(dG * history)
+    a = jnp.full((KG,) + (1,) * (ends.ndim - 1), dG, f32)
+
+    def combine(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return a2 * a1, a2 * b1 + b2
+
+    _, e = jax.lax.associative_scan(combine, (a, ends), axis=0)  # [KG, ..., D]
+    carry_in = jnp.concatenate([history[None], e[:-1]], axis=0)  # [KG, ..., D]
+
+    shape = (G,) + (1,) * (xc.ndim - 1)
+    yg = z + carry_in[:, None] * pows[1:].reshape(shape)[None]
+    yc = yg.reshape(KG * G, *xc.shape[1:])[:K]
+    return yc, yc[K - 1]

@@ -363,3 +363,15 @@ def test_graph_mutations():
     assert len(g.links) == 2
     g.remove_node(gn)
     assert gn.id not in g.nodes and len(g.links) == 0
+
+
+def test_reverb_comb_blocked_long_fast():
+    """The matmul-blocked chunk solver (fast policy, K>16 chunks) vs the
+    oracle on a long render."""
+    x = (np.random.default_rng(9).standard_normal(48_000) * 0.5
+         ).astype(np.float32)
+    with precision.policy("fast"):
+        got, hist = delay_line.feedback_comb(x, np.float32(0.7), 256)
+    want, hist_w = oracle.reverb(x, 256 / 48_000, 0.7)
+    assert_dbfs(np.asarray(got), want, -90.0)
+    assert_dbfs(np.asarray(hist), hist_w, -90.0)
