@@ -5,7 +5,7 @@ app launch; its only flag is --clean).  Headless equivalents:
     python -m dsp_stuff_tpu nodes                     # list node types
     python -m dsp_stuff_tpu render GRAPH.json \\
         [--in IN.wav ...] [--out OUT.wav] [--seconds S] \\
-        [--policy fast|parity|exact] [--rate HZ]      # offline render
+        [--policy fast|parity|exact]                  # offline render
     python -m dsp_stuff_tpu inspect GRAPH.json        # topology summary
     python -m dsp_stuff_tpu debug GRAPH.json --seconds S
                                                       # per-node stats render

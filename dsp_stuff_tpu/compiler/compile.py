@@ -114,6 +114,25 @@ class CompiledGraph:
         the handle the gradient-fitting path (train/fit.py) optimizes."""
         return self._init_params()
 
+    def _state_is_batched(self, state, batch_shape) -> bool:
+        """True when the state pytree carries leading batch axes — e.g. the
+        state a previous batched render returned, fed back for segmented
+        continuation.  Detected by rank against a fresh init_state."""
+        if not batch_shape:
+            return False
+        fresh = self.init_state()
+        got = [jnp.ndim(l) for l in jax.tree.leaves(state)]
+        want = [jnp.ndim(l) for l in jax.tree.leaves(fresh)]
+        if got == want:
+            return False
+        nb = len(batch_shape)
+        if got == [w + nb for w in want]:
+            return True
+        raise ValueError(
+            f"state ranks {got} match neither fresh {want} nor batched "
+            f"(+{nb}) layout; pass a state from a render with the same "
+            f"batch_shape, or broadcast_state(init_state(), batch_shape)")
+
     def broadcast_state(self, state, batch_shape: tuple[int, ...]):
         """Tile a (fresh, unbatched) state pytree across leading batch axes
         so it can be carried through a vmapped fn (in_axes=0 for state)."""
@@ -142,9 +161,12 @@ class CompiledGraph:
             raise ValueError(f"T={T} must be a multiple of block_size={self.block_size}")
         if state is None:
             state = self.init_state()
+            state_batched = False
+        else:
+            state_batched = self._state_is_batched(state, batch_shape)
         fn = self.jit_fn
         for _ in range(len(batch_shape)):
-            fn = jax.vmap(fn, in_axes=(None, 0, None))
+            fn = jax.vmap(fn, in_axes=(0 if state_batched else None, 0, None))
         state, outs, aux = fn(state, ext, params)
         out_arr = jnp.stack([outs[i] for i in self.output_ids], axis=-2) \
             if self.output_ids else jnp.zeros((*batch_shape, 0, T), jnp.float32)

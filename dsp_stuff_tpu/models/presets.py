@@ -80,7 +80,12 @@ def config4_convolution_reverb(ir_left=None, ir_right=None, ir_seconds=1.0,
         t = np.arange(n) / 48_000.0
         env = np.exp(-3.0 * t)
         ir_left = (rng.standard_normal(n) * env * 0.05).astype(np.float32)
-        ir_right = (rng.standard_normal(n) * env * 0.05).astype(np.float32)
+        if ir_right is None:   # default room: decorrelated stereo
+            ir_right = (rng.standard_normal(n) * env * 0.05
+                        ).astype(np.float32)
+    if ir_right is None:
+        # caller supplied a mono IR: duplicate it to both channels
+        ir_right = np.asarray(ir_left)
     g = _g()
     inp = g.add("input")
     firs = []

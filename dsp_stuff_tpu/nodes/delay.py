@@ -31,7 +31,7 @@ class Reverb:
 
     @staticmethod
     def init_state(cfg, block_size):
-        D = delay_samples(float(cfg["seconds"]), block_size=block_size)
+        D = delay_samples(float(cfg["seconds"]))
         return {"ring": jnp.zeros((D,), jnp.float32)}
 
     @staticmethod

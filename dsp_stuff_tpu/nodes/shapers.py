@@ -111,24 +111,23 @@ class Muff:
     @staticmethod
     def init_state(cfg, block_size):
         import jax.numpy as jnp
-        return {"lp_z": jnp.float32(0.0), "hp_z": jnp.float32(0.0)}
+        return {"lp_z": jnp.float32(0.0)}
 
     @staticmethod
     def process_seq(params, state, inputs):
         from dsp_stuff_tpu.ops.scan import first_order_affine
         x = inputs["in"]
-        sustain = jnp.float32(params["sustain"])
-        toan = jnp.float32(params["toan"])
-        level = jnp.float32(params["level"])
+        sustain = jnp.asarray(params["sustain"], jnp.float32)
+        toan = jnp.asarray(params["toan"], jnp.float32)
+        level = jnp.asarray(params["level"], jnp.float32)
         # input gain: 1..~100 with sustain
         g = 1.0 + sustain * 99.0
         v = jnp.tanh(x * g)
-        # tone stack: crossfade LP (toan=0) <-> HP (toan=1), one-pole at ~
-        # 500 Hz (r = exp(-2*pi*fc/sr) ~= 0.9367)
+        # tone stack: crossfade LP (toan=0) <-> HP (toan=1); both legs share
+        # the same one-pole at ~500 Hz (r = exp(-2*pi*fc/sr) ~= 0.9367),
+        # since hp = v - lp
         r = jnp.float32(0.93669)
         lp = first_order_affine(r, v * (1.0 - r), state["lp_z"])
-        hp_state = first_order_affine(r, v * (1.0 - r), state["hp_z"])
-        hp = v - hp_state
+        hp = v - lp
         y = ((1.0 - toan) * lp + toan * hp) * level
-        new_state = {"lp_z": lp[..., -1], "hp_z": hp_state[..., -1]}
-        return {"out": y}, new_state
+        return {"out": y}, {"lp_z": lp[..., -1]}

@@ -32,10 +32,11 @@ import jax.numpy as jnp
 from dsp_stuff_tpu.utils.precision import get_policy
 
 
-def delay_samples(seconds: float, sample_rate: int = 48_000,
-                  block_size: int = 128) -> int:
-    """max(int(seconds*48000), 128) -- reverb.rs:57."""
-    return max(int(seconds * sample_rate), block_size)
+def delay_samples(seconds: float, sample_rate: int = 48_000) -> int:
+    """max(int(seconds*48000), 128) -- reverb.rs:57.  The 128 floor is the
+    reference's fixed BUF_SIZE, NOT the compile block size (compiling with
+    block_size > 128 must not change reverb semantics)."""
+    return max(int(seconds * sample_rate), 128)
 
 
 def feedback_comb(x, decay, delay: int, history=None):

@@ -66,7 +66,8 @@ def _conv_cgd(xp, h):
     out = jax.lax.conv_general_dilated(
         flat, kern, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCW", "OIW", "NCW"),
-        preferred_element_type=xp.dtype)
+        preferred_element_type=xp.dtype,
+        precision=jax.lax.Precision.HIGHEST)
     return out.reshape((*batch_shape, -1))
 
 

@@ -58,7 +58,8 @@ def _conv_same(x, h, stride: int = 1, lhs_dilation: int = 1):
         padding=[(pad, N - 1 - pad + lhs_dilation - 1)],
         lhs_dilation=(lhs_dilation,),
         dimension_numbers=("NCW", "OIW", "NCW"),
-        preferred_element_type=x.dtype)
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST)
     return out.reshape((*batch, out.shape[-1]))
 
 

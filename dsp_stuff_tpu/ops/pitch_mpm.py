@@ -20,6 +20,7 @@ windows of all streams in parallel.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,15 +62,35 @@ def detect_pitch(x, sample_rate: int = 48_000, power_threshold: float = 0.5,
     d = nsdf(xw)                                            # [..., n_win, W/2]
     W2 = d.shape[-1]
 
-    # local maxima strictly between positive-going zero crossings, tau >= 1
+    # MPM key maxima: ONE candidate per interval between positive-going
+    # zero crossings — the interval's maximum (taking every local max as a
+    # candidate lets a sub-peak ripple win "first above threshold" and
+    # report a sharp pitch).  Interval membership and maxima are computed
+    # with segmented max scans (forward + backward), fully vectorized.
     rising = (d[..., 1:] > 0) & (d[..., :-1] <= 0)          # crossing before t+1
-    # mark region "after first positive-going crossing"
     started = jnp.cumsum(rising.astype(jnp.int32), axis=-1) > 0
     dpad = d[..., 1:]
+
+    def seg_combine(l, r):
+        fl, ml = l
+        fr, mr = r
+        return fl | fr, jnp.where(fr, mr, jnp.maximum(ml, mr))
+
+    # forward: running max since the interval start
+    _, fwd = jax.lax.associative_scan(seg_combine, (rising, dpad), axis=-1)
+    # backward: running max to the interval end (an interval ends where the
+    # next sample starts a new one, or at the array tail)
+    ends = jnp.concatenate(
+        [rising[..., 1:], jnp.ones_like(rising[..., :1])], axis=-1)
+    _, bwd_r = jax.lax.associative_scan(
+        seg_combine, (ends[..., ::-1], dpad[..., ::-1]), axis=-1)
+    bwd = bwd_r[..., ::-1]
+    region_max = jnp.maximum(fwd, bwd)
+
     is_peak = jnp.zeros_like(dpad, dtype=bool)
     interior = (dpad[..., 1:-1] > dpad[..., :-2]) & (dpad[..., 1:-1] >= dpad[..., 2:])
     is_peak = is_peak.at[..., 1:-1].set(interior)
-    is_peak = is_peak & started
+    is_peak = is_peak & started & (dpad == region_max)
 
     neg_inf = jnp.float32(-np.inf)
     peaks = jnp.where(is_peak, dpad, neg_inf)

@@ -55,4 +55,5 @@ def resample_sinc16(x, ratio: float):
     valid = (idx >= 0) & (idx < T)
     gathered = jnp.take(x, jnp.clip(idx, 0, T - 1), axis=-1)    # [..., n_out, 16]
     gathered = jnp.where(valid, gathered, 0.0)
-    return jnp.einsum("...ot,ot->...o", gathered, jnp.asarray(taps))
+    return jnp.einsum("...ot,ot->...o", gathered, jnp.asarray(taps),
+                      precision=jax.lax.Precision.HIGHEST)

@@ -321,7 +321,8 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
 
     def h_combine(l, r):
         return jnp.einsum("...ij,...jk->...ik", r, l,
-                          preferred_element_type=f32)
+                          preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     Apow = jax.lax.associative_scan(h_combine, Ab, axis=0)  # A^1..A^C
     # h[t] = (A^t)[0, 0] applied to h-state [h0, h_-1] = [1, 0]

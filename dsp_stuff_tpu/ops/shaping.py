@@ -42,6 +42,14 @@ def _bypass(level, shaped, x):
     return jnp.where(level < BYPASS_EPS, x, shaped)
 
 
+def _safe_level(level):
+    """Denominator-safe level: in the bypass region the shaped branch is
+    discarded by the where, but 0/0 there still poisons jax.grad (the
+    classic where-NaN-gradient pitfall), which would break gradient
+    fitting of distortion sliders.  Values are unchanged outside bypass."""
+    return jnp.where(level < BYPASS_EPS, jnp.float32(1.0), level)
+
+
 def _tanh(v):
     """tanh with the argument clamped to |v| <= 20.
 
@@ -61,7 +69,7 @@ def clip(x):
 def hard_clip(x, level):
     """clip(x*level)/level (distort.rs:63-69)."""
     level = jnp.asarray(level, _F32)
-    return _bypass(level, clip(x * level) / level, x)
+    return _bypass(level, clip(x * level) / _safe_level(level), x)
 
 
 def soft_clip(x, level):
@@ -72,7 +80,7 @@ def soft_clip(x, level):
     shaped = jnp.where(v > 1.0, _F32(2.0 / 3.0),
                        jnp.where(v < -1.0, _F32(-2.0 / 3.0),
                                  v - (v ** 3) / 3.0))
-    return _bypass(level, clip(shaped) / level, x)
+    return _bypass(level, clip(shaped) / _safe_level(level), x)
 
 
 def tanh_clip(x, level):
@@ -167,8 +175,10 @@ def chebyshev_asym(x, level_pos, level_neg):
     per-branch bypass when that branch's level < 0.001."""
     lp = jnp.asarray(level_pos, _F32)
     ln = jnp.asarray(level_neg, _F32)
-    pos = jnp.where(lp < BYPASS_EPS, x, _tanh(x * lp) / _tanh(lp))
-    neg = jnp.where(ln < BYPASS_EPS, x, _tanh(x * ln) / _tanh(ln))
+    pos = jnp.where(lp < BYPASS_EPS, x,
+                    _tanh(x * lp) / _tanh(_safe_level(lp)))
+    neg = jnp.where(ln < BYPASS_EPS, x,
+                    _tanh(x * ln) / _tanh(_safe_level(ln)))
     return jnp.where(x >= 0.0, pos, neg)
 
 

@@ -70,3 +70,19 @@ def test_analysis_sinks_in_graph():
     assert aux[f"wave_view:{wv.id}"]["samples"].shape == (4096,)
     pf = np.asarray(aux[f"pitch:{pt.id}"]["frequency"])
     assert np.all(np.abs(pf - 440.0) < 5.0)
+
+
+def test_pitch_harmonic_rich():
+    """Strong harmonics create nsdf ripples; key-max-per-interval picking
+    must still land on the fundamental (not a sub-peak wiggle)."""
+    T = 8192
+    t = np.arange(T) / SR
+    f0 = 220.0
+    x = (0.5 * np.sin(2 * np.pi * f0 * t)
+         + 0.45 * np.sin(2 * np.pi * 2 * f0 * t)
+         + 0.4 * np.sin(2 * np.pi * 3 * f0 * t)).astype(np.float32)
+    res = detect_pitch(x, power_threshold=0.1, clarity_threshold=0.5,
+                       pick_threshold=0.85)
+    f = np.asarray(res["frequency"])
+    assert np.asarray(res["voiced"]).all()
+    assert np.all(np.abs(f - f0) / f0 < 0.02), f

@@ -86,3 +86,24 @@ def test_train_step_sharded_mesh():
         os.path.abspath(__file__))))
     import __graft_entry__
     __graft_entry__.dryrun_multichip(len(jax.devices()))
+
+
+def test_grad_finite_at_bypass_levels():
+    """Distortion sliders at/below the bypass epsilon must yield finite
+    gradients (the where-NaN-grad pitfall in clip(x*l)/l at l=0)."""
+    from dsp_stuff_tpu.train.fit import make_loss_fn
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    dt = g.add("distort", mode="HardClip", level=0.0)
+    ch = g.add("chebyshev", level_pos=0.0, level_neg=0.0)
+    out = g.add("output")
+    g.chain(inp, dt, ch, out)
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        loss = make_loss_fn(cg)
+        x = np.random.default_rng(0).standard_normal((2, 256)).astype(np.float32) * 0.3
+        ext = {str(inp.id): x}
+        target = jnp.zeros((2, 1, 256), jnp.float32)
+        grads = jax.grad(loss)(cg.init_params(), cg.init_state(), ext, target)
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all(), grads

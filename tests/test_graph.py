@@ -294,3 +294,26 @@ def test_param_automation_arrays():
     outs, _, _ = cg.render({str(inp.id): x}, params=p)
     want = np.asarray(ramp) / np.float32(1.0001) / np.float32(1.0001)
     np.testing.assert_allclose(np.asarray(outs)[0], want, rtol=1e-5)
+
+
+def test_batched_render_continuation():
+    """The state returned by a batched render feeds back into the next
+    batched render (segmented rendering) and equals one continuous run."""
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.ids import IdSpace
+    import numpy as np
+
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    bq = g.add("biquad")
+    rv = g.add("reverb", seconds=0.005, decay=0.6)
+    out = g.add("output")
+    g.chain(inp, bq, rv, out)
+    cg = dst.compile_graph(g)
+    x = (np.random.default_rng(3).standard_normal((4, 1, 1024)) * 0.3
+         ).astype(np.float32)
+    full, _, _ = cg.render(x, batch_shape=(4,))
+    h1, _, st = cg.render(x[..., :512], batch_shape=(4,))
+    h2, _, _ = cg.render(x[..., 512:], batch_shape=(4,), state=st)
+    got = np.concatenate([np.asarray(h1), np.asarray(h2)], axis=-1)
+    np.testing.assert_allclose(got, np.asarray(full), atol=1e-6)
