@@ -114,15 +114,48 @@ class CompiledGraph:
         the handle the gradient-fitting path (train/fit.py) optimizes."""
         return self._init_params()
 
+    def _walk_state(self, state, on_batched, on_shared):
+        """Apply on_batched/on_shared per node-state entry.  Nodes may
+        declare ``shared_state_keys`` on their impl: those leaves are
+        LOCKSTEP state (e.g. the chorus sample clock) — identical across
+        streams by construction, so they stay unbatched under vmap (which
+        is also what keeps shared-tap gathers on the fast row-gather
+        path, ops/modfx.py)."""
+        out = {}
+        for nid_s, nst in state.items():
+            impl = self.graph.nodes[int(nid_s)].spec.impl
+            shared = set(getattr(impl, "shared_state_keys", ()))
+            if shared and isinstance(nst, dict):
+                out[nid_s] = {k: (on_shared(v) if k in shared
+                                  else jax.tree.map(on_batched, v))
+                              for k, v in nst.items()}
+            else:
+                out[nid_s] = jax.tree.map(on_batched, nst)
+        return out
+
+    def state_axes(self):
+        """vmap in_axes pytree for a batched state: 0 for per-stream
+        leaves, None for node-declared shared (lockstep) leaves."""
+        return self._walk_state(self.init_state(),
+                                on_batched=lambda _: 0,
+                                on_shared=lambda _: None)
+
     def _state_is_batched(self, state, batch_shape) -> bool:
         """True when the state pytree carries leading batch axes — e.g. the
         state a previous batched render returned, fed back for segmented
-        continuation.  Detected by rank against a fresh init_state."""
+        continuation.  Detected by rank against a fresh init_state
+        (shared/lockstep leaves excluded — they never batch)."""
         if not batch_shape:
             return False
         fresh = self.init_state()
-        got = [jnp.ndim(l) for l in jax.tree.leaves(state)]
-        want = [jnp.ndim(l) for l in jax.tree.leaves(fresh)]
+
+        def ranks(st):
+            acc = []
+            self._walk_state(st, on_batched=lambda l: acc.append(jnp.ndim(l)),
+                             on_shared=lambda l: None)
+            return acc
+
+        got, want = ranks(state), ranks(fresh)
         if got == want:
             return False
         nb = len(batch_shape)
@@ -135,10 +168,13 @@ class CompiledGraph:
 
     def broadcast_state(self, state, batch_shape: tuple[int, ...]):
         """Tile a (fresh, unbatched) state pytree across leading batch axes
-        so it can be carried through a vmapped fn (in_axes=0 for state)."""
-        return jax.tree.map(
-            lambda s: jnp.broadcast_to(jnp.asarray(s),
-                                       (*batch_shape, *jnp.shape(s))), state)
+        so it can be carried through a vmapped fn (state in_axes =
+        ``state_axes()``); shared/lockstep leaves stay unbatched."""
+        return self._walk_state(
+            state,
+            on_batched=lambda s: jnp.broadcast_to(
+                jnp.asarray(s), (*batch_shape, *jnp.shape(s))),
+            on_shared=lambda s: s)
 
     @functools.cached_property
     def jit_fn(self):
@@ -165,8 +201,12 @@ class CompiledGraph:
         else:
             state_batched = self._state_is_batched(state, batch_shape)
         fn = self.jit_fn
+        st_axes = self.state_axes() if state_batched else None
         for _ in range(len(batch_shape)):
-            fn = jax.vmap(fn, in_axes=(0 if state_batched else None, 0, None))
+            # out_axes mirrors state_axes so shared (lockstep) leaves come
+            # back unbatched — the default 0 would broadcast them per-stream
+            fn = jax.vmap(fn, in_axes=(st_axes, 0, None),
+                          out_axes=(self.state_axes(), 0, 0))
         state, outs, aux = fn(state, ext, params)
         out_arr = jnp.stack([outs[i] for i in self.output_ids], axis=-2) \
             if self.output_ids else jnp.zeros((*batch_shape, 0, T), jnp.float32)
@@ -399,6 +439,15 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
 
         member_ports = [(nid, port) for nid in order
                         for port in nodes[nid].spec.outputs]
+        comp_set = set(order)
+        # only ports with consumers OUTSIDE the cycle need their full block
+        # sequence stacked by the scan; internal-only ports would otherwise
+        # each write a [T/B, ..., B] tensor per render (measured: 4x the
+        # necessary HBM traffic on the 16-node benchmark graph)
+        emit_ports = [(nid, port) for (nid, port) in member_ports
+                      if any(l.src == nid and l.src_port == port
+                             and l.dst not in comp_set
+                             for l in graph.links)]
 
         def body(carry, xs):
             st, prev = carry
@@ -433,7 +482,7 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
                 for port in node.spec.outputs:
                     cur[(nid, port)] = outs[port]
 
-            return (st, cur), cur
+            return (st, cur), {kp: cur[kp] for kp in emit_ports}
 
         st0 = {str(nid): state[str(nid)] for nid in order}
         prev0 = {kp: jnp.zeros((B,), jnp.float32) for kp in member_ports}
@@ -441,7 +490,7 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
                                      length=nb)
         for nid in order:
             state[str(nid)] = st_f[str(nid)]
-        for kp in member_ports:
+        for kp in emit_ports:
             blocks = ys[kp]                     # [nb, B]
             values[kp] = jnp.moveaxis(blocks, 0, -2).reshape(
                 *blocks.shape[1:-1], nb * B)

@@ -58,7 +58,10 @@ class Spectrogram:
             inputs["in"], fft_size=int(params["fft_size"]),
             lower_hz=float(params["lower_bound"]),
             upper_hz=float(params["upper_bound"]))
-        return {"columns": cols}
+        # the reference keeps a bounded deque of the last buffer_size
+        # columns (spectrogram.rs:255-262)
+        n = int(params["buffer_size"])
+        return {"columns": cols[..., -n:, :]}
 
     @staticmethod
     def frequencies(params):

@@ -56,7 +56,13 @@ class Chorus:
     """Extension node (no reference analog; BASELINE.json config #2 needs
     modulated fractional taps).  base/depth fix the history length, so they
     are structural; rate and mix are modulatable/differentiable.  See
-    ops/modfx.py for the vectorized gather lowering."""
+    ops/modfx.py for the vectorized gather lowering.
+
+    The sample clock t0 is LOCKSTEP state: all streams of a batched render
+    advance together, so it stays a shared scalar under vmap (keeping the
+    LFO tap trajectory shared -> fast row-gather path)."""
+
+    shared_state_keys = ("t0",)
 
     @staticmethod
     def init_state(cfg, block_size):

@@ -68,6 +68,16 @@ def _feedback_comb_jit(x, decay, history, D: int, associative: bool):
     T = x.shape[-1]
     batch = x.shape[:-1]
 
+    if T <= D:
+        # Block shorter than the delay line (the in-cycle / streaming case,
+        # T = 128 vs D up to 48000): every delayed sample is already in
+        # history, so the comb is one fused elementwise op — no chunking.
+        # (The general path would zero-pad the block to D: 375x wasted
+        # work per block for a 1 s delay.)  Exact, policy-independent.
+        y = x + history[..., :T] * decay
+        new_hist = jnp.concatenate([history[..., T:], y], axis=-1)
+        return y, new_hist
+
     nchunks = -(-T // D)
     pad = nchunks * D - T
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])

@@ -51,5 +51,9 @@ def peak_envelope(x, attack_frames=0.0, release_frames=0.0, env0=0.0):
         env = d + gain * (env - d)
         return env, env
 
-    final, ys = jax.lax.scan(step, env0, jnp.moveaxis(x, -1, 0))
+    # the data-dependent branch makes this recurrence non-associative, so
+    # it stays a per-sample scan; unrolling amortizes the XLA while-loop
+    # per-iteration overhead (~1 us/sample otherwise — the single slowest
+    # construct in a graph containing an Envelope node)
+    final, ys = jax.lax.scan(step, env0, jnp.moveaxis(x, -1, 0), unroll=32)
     return jnp.moveaxis(ys, 0, -1), final

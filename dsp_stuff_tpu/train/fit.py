@@ -100,6 +100,47 @@ def make_train_step(cg: CompiledGraph, optimizer=None,
     return step, optimizer.init
 
 
+def make_sharded_train_step(cg: CompiledGraph, mesh, optimizer=None,
+                            distance: Callable = mse_loss,
+                            axis: str = "streams"):
+    """Training step jitted over a device mesh: batch (ext/target leading
+    axis) sharded across ``axis``, parameters/optimizer state replicated.
+    XLA inserts the gradient all-reduce (psum over ICI) from the shardings
+    — the scaling-book recipe, no explicit collectives.
+
+    Returns (step_jitted, opt_init); call as
+        step(params, opt_state, state, ext, target)
+    with ext {input_id: [S, T]} and target [S, n_out, T], S divisible by
+    the mesh size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step, opt_init = make_train_step(cg, optimizer, distance)
+    repl = NamedSharding(mesh, P())
+    shard_bt = NamedSharding(mesh, P(axis, None))
+    shard_bct = NamedSharding(mesh, P(axis, None, None))
+
+    def jit_for(params, opt_state, state, ext, target):
+        in_shardings = (
+            jax.tree.map(lambda _: repl, params),
+            jax.tree.map(lambda _: repl, opt_state),
+            jax.tree.map(lambda _: repl, state),
+            {k: shard_bt for k in ext},
+            shard_bct,
+        )
+        return jax.jit(step, in_shardings=in_shardings)
+
+    class _Step:
+        """Jits lazily on first call (needs the concrete ext keys)."""
+        _fn = None
+
+        def __call__(self, params, opt_state, state, ext, target):
+            if self._fn is None:
+                self._fn = jit_for(params, opt_state, state, ext, target)
+            return self._fn(params, opt_state, state, ext, target)
+
+    return _Step(), opt_init
+
+
 def fit(cg: CompiledGraph, ext, target, *, steps: int = 200,
         optimizer=None, distance: Callable = mse_loss, params=None,
         verbose: bool = False):
