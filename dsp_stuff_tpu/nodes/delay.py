@@ -27,18 +27,44 @@ class Reverb:
 
     `seconds` is a structure parameter: it fixes the delay-line length, so
     it is compiled statically (changing it triggers a re-trace, the analog
-    of the reference's reallocation)."""
+    of the reference's reallocation).
+
+    State is a circular buffer + write position: inside feedback cycles
+    (one 128-sample block per step) the update is a T-element gather +
+    scatter instead of rewriting the whole [D] line every block (for a
+    0.15 s delay that concat moved 56x more bytes per block than the
+    audio itself).  ``pos`` is lockstep (shared across streams)."""
+
+    shared_state_keys = ("pos",)
 
     @staticmethod
     def init_state(cfg, block_size):
         D = delay_samples(float(cfg["seconds"]))
-        return {"ring": jnp.zeros((D,), jnp.float32)}
+        return {"ring": jnp.zeros((D,), jnp.float32),
+                "pos": jnp.int32(0)}
 
     @staticmethod
     def process_seq(params, state, inputs):
-        D = state["ring"].shape[-1]
-        y, ring = feedback_comb(inputs["in"], params["decay"], D, state["ring"])
-        return {"out": y}, {"ring": ring}
+        ring, pos = state["ring"], state["pos"]
+        D = ring.shape[-1]
+        # canonicalize (oldest-first) if a block path left pos != 0
+        ring = jnp.roll(ring, -pos, axis=-1)
+        y, ring = feedback_comb(inputs["in"], params["decay"], D, ring)
+        return {"out": y}, {"ring": ring, "pos": jnp.int32(0)}
+
+    @staticmethod
+    def process_block(params, state, inputs):
+        x = inputs["in"]
+        ring, pos = state["ring"], state["pos"]
+        D = ring.shape[-1]
+        T = x.shape[-1]
+        if T > D:      # block longer than the line: use the general path
+            return Reverb.process_seq(params, state, inputs)
+        idx = (pos + jnp.arange(T, dtype=jnp.int32)) % D
+        delayed = jnp.take(ring, idx, axis=-1)        # the T oldest samples
+        y = x + delayed * jnp.asarray(params["decay"], jnp.float32)
+        ring = ring.at[..., idx].set(y)               # overwrite the oldest
+        return {"out": y}, {"ring": ring, "pos": (pos + T) % D}
 
 
 @register_node(

@@ -375,3 +375,25 @@ def test_reverb_comb_blocked_long_fast():
     want, hist_w = oracle.reverb(x, 256 / 48_000, 0.7)
     assert_dbfs(np.asarray(got), want, -90.0)
     assert_dbfs(np.asarray(hist), hist_w, -90.0)
+
+
+def test_reverb_block_then_seq_paths_agree():
+    """The cycle block path (gather/scatter ring + pos) chains with the
+    full-sequence path (canonicalized ring) to match the oracle."""
+    from dsp_stuff_tpu.nodes.delay import Reverb
+    x = sig(1024)
+    D_seconds = 0.004     # D = max(192, 128) = 192
+    want, _ = oracle.reverb(x, D_seconds, 0.6)
+    st = Reverb.init_state({"seconds": D_seconds}, 128)
+    params = {"seconds": D_seconds, "decay": np.float32(0.6)}
+    ys = []
+    # three 128-blocks through the cycle path...
+    for i in range(3):
+        outs, st = Reverb.process_block(params, st,
+                                        {"in": x[i * 128:(i + 1) * 128]})
+        ys.append(np.asarray(outs["out"]))
+    # ...then the rest through the full-sequence path
+    outs, st = Reverb.process_seq(params, st, {"in": x[384:]})
+    ys.append(np.asarray(outs["out"]))
+    got = np.concatenate(ys)
+    assert_dbfs(got, want, -120.0)
