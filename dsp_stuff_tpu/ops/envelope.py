@@ -33,6 +33,40 @@ def gain_from_frames(frames):
 import functools
 
 
+def _use_pallas() -> bool:
+    import os
+    if os.environ.get("DST_PALLAS") != "1":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@jax.custom_batching.custom_vmap
+def _env_pallas_cv(x, env0, atk, rel):
+    """Dispatch point so vmapped (per-stream) callers reach the Pallas
+    kernel with the WHOLE batch riding the lane axis (the kernel is
+    batch-vectorized by construction, ops/pallas_envelope.py)."""
+    from dsp_stuff_tpu.ops.pallas_envelope import peak_envelope_pallas
+    return peak_envelope_pallas(x, atk, rel, env0)
+
+
+@_env_pallas_cv.def_vmap
+def _env_pallas_cv_vmap(axis_size, in_batched, x, env0, atk, rel):
+    from dsp_stuff_tpu.ops.pallas_envelope import peak_envelope_pallas
+    x_b, env0_b, atk_b, rel_b = in_batched
+    if atk_b or rel_b or x.ndim != 2:
+        raise NotImplementedError(
+            "pallas envelope: per-stream attack/release or nested batching "
+            "not supported; unset DST_PALLAS for this graph")
+    S = axis_size
+    xb = x if x_b else jnp.broadcast_to(x, (S, *x.shape))
+    e0 = env0 if env0_b else jnp.broadcast_to(env0, (S,))
+    env, fin = peak_envelope_pallas(xb, atk, rel, e0)
+    return (env, fin), (True, True)
+
+
 @functools.partial(jax.jit)
 def peak_envelope(x, attack_frames=0.0, release_frames=0.0, env0=0.0):
     """Full-wave peak detection along the last axis.
@@ -44,6 +78,8 @@ def peak_envelope(x, attack_frames=0.0, release_frames=0.0, env0=0.0):
     atk = gain_from_frames(attack_frames)
     rel = gain_from_frames(release_frames)
     env0 = jnp.broadcast_to(jnp.asarray(env0, f32), x.shape[:-1])
+    if _use_pallas() and x.ndim <= 2 and atk.ndim == 0 and rel.ndim == 0:
+        return _env_pallas_cv(x, env0, atk, rel)
 
     def step(env, xt):
         d = jnp.abs(xt)
