@@ -122,7 +122,7 @@ class CompiledGraph:
         is also what keeps shared-tap gathers on the fast row-gather
         path, ops/modfx.py)."""
         out = {}
-        for nid_s, nst in state.items():
+        for nid_s, nst in sorted(state.items(), key=lambda kv: kv[0]):
             impl = self.graph.nodes[int(nid_s)].spec.impl
             shared = set(getattr(impl, "shared_state_keys", ()))
             if shared and isinstance(nst, dict):
@@ -133,12 +133,16 @@ class CompiledGraph:
                 out[nid_s] = jax.tree.map(on_batched, nst)
         return out
 
-    def state_axes(self):
-        """vmap in_axes pytree for a batched state: 0 for per-stream
-        leaves, None for node-declared shared (lockstep) leaves."""
+    @functools.cached_property
+    def _state_axes_cache(self):
         return self._walk_state(self.init_state(),
                                 on_batched=lambda _: 0,
                                 on_shared=lambda _: None)
+
+    def state_axes(self):
+        """vmap in_axes pytree for a batched state: 0 for per-stream
+        leaves, None for node-declared shared (lockstep) leaves."""
+        return self._state_axes_cache
 
     def _state_is_batched(self, state, batch_shape) -> bool:
         """True when the state pytree carries leading batch axes — e.g. the
@@ -440,14 +444,25 @@ def compile_graph(graph: Graph, block_size: int = 128) -> CompiledGraph:
         member_ports = [(nid, port) for nid in order
                         for port in nodes[nid].spec.outputs]
         comp_set = set(order)
-        # only ports with consumers OUTSIDE the cycle need their full block
-        # sequence stacked by the scan; internal-only ports would otherwise
-        # each write a [T/B, ..., B] tensor per render (measured: 4x the
-        # necessary HBM traffic on the 16-node benchmark graph)
+
+        def _needs_sequence(nid, port):
+            for l in graph.links:
+                if l.src != nid or l.src_port != port:
+                    continue
+                if l.dst not in comp_set:
+                    return True          # consumed outside the cycle
+                # intra-cycle modulation links: the knob-writeback pass
+                # (aux __knobs__) reads the full source sequence
+                dst_spec = nodes[l.dst].spec
+                if l.dst_port in dst_spec.mod_inputs:
+                    return True
+            return False
+
+        # only ports whose full sequence is needed get stacked by the scan;
+        # internal-only audio ports would otherwise each write a
+        # [T/B, ..., B] tensor per render
         emit_ports = [(nid, port) for (nid, port) in member_ports
-                      if any(l.src == nid and l.src_port == port
-                             and l.dst not in comp_set
-                             for l in graph.links)]
+                      if _needs_sequence(nid, port)]
 
         def body(carry, xs):
             st, prev = carry

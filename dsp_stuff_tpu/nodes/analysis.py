@@ -59,9 +59,11 @@ class Spectrogram:
             lower_hz=float(params["lower_bound"]),
             upper_hz=float(params["upper_bound"]))
         # the reference keeps a bounded deque of the last buffer_size
-        # columns (spectrogram.rs:255-262)
+        # columns (spectrogram.rs:255-262); n == 0 keeps none (a plain
+        # [-0:] slice would keep everything)
         n = int(params["buffer_size"])
-        return {"columns": cols[..., -n:, :]}
+        return {"columns": cols[..., -n:, :] if n > 0
+                else cols[..., :0, :]}
 
     @staticmethod
     def frequencies(params):

@@ -34,13 +34,8 @@ import functools
 
 
 def _use_pallas() -> bool:
-    import os
-    if os.environ.get("DST_PALLAS") != "1":
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    from dsp_stuff_tpu.ops.scan import _use_pallas as _up
+    return _up()
 
 
 @jax.custom_batching.custom_vmap
@@ -56,14 +51,16 @@ def _env_pallas_cv(x, env0, atk, rel):
 def _env_pallas_cv_vmap(axis_size, in_batched, x, env0, atk, rel):
     from dsp_stuff_tpu.ops.pallas_envelope import peak_envelope_pallas
     x_b, env0_b, atk_b, rel_b = in_batched
-    if atk_b or rel_b or x.ndim != 2:
+    if atk_b or rel_b or not x_b or x.ndim != 2:
+        # per-stream gains, nested batching, or a closed-over unbatched
+        # signal: no efficient lane mapping — tell the caller to use the
+        # scan path rather than silently mis-shaping the kernel input
         raise NotImplementedError(
-            "pallas envelope: per-stream attack/release or nested batching "
-            "not supported; unset DST_PALLAS for this graph")
+            "pallas envelope: per-stream attack/release, unbatched signal "
+            "or nested batching not supported; unset DST_PALLAS here")
     S = axis_size
-    xb = x if x_b else jnp.broadcast_to(x, (S, *x.shape))
     e0 = env0 if env0_b else jnp.broadcast_to(env0, (S,))
-    env, fin = peak_envelope_pallas(xb, atk, rel, e0)
+    env, fin = peak_envelope_pallas(x, atk, rel, e0)
     return (env, fin), (True, True)
 
 

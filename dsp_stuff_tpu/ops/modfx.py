@@ -22,40 +22,6 @@ import numpy as np
 TAU = 2.0 * np.pi
 
 
-@jax.custom_batching.custom_vmap
-def _frac_delay_gather(xx, i, frac):
-    """Linear-interpolated fractional-delay read: xx 1-D, i/frac [T]."""
-    a = jnp.take(xx, i, axis=0)
-    b = jnp.take(xx, i + 1, axis=0)
-    return a * (1.0 - frac) + b * frac
-
-
-@_frac_delay_gather.def_vmap
-def _frac_delay_gather_vmap(axis_size, in_batched, xx, i, frac):
-    """Batched rule.  When the tap trajectory is SHARED across streams
-    (scalar LFO params + the shared sample clock — the normal case), the
-    read is a row gather in time-major layout: jnp.take(x.T, i, axis=0)
-    pulls whole [streams] rows per index, which measured 12x faster on
-    v5e than a per-element lane gather (2.6 s -> 0.2 s at [128, 480k]).
-    Per-stream trajectories (modulated rate/mix) fall back to the general
-    element gather."""
-    xx_b, i_b, frac_b = in_batched
-    if not i_b and not frac_b and xx_b and xx.ndim == 2:
-        xt = xx.T                                  # [N, S]
-        a = jnp.take(xt, i, axis=0)                # [T, S]
-        b = jnp.take(xt, i + 1, axis=0)
-        wet = a * (1.0 - frac[:, None]) + b * frac[:, None]
-        return wet.T, True
-    # general fallback: element gather along the last axis
-    S = axis_size
-    xxb = xx if xx_b else jnp.broadcast_to(xx, (S, *xx.shape))
-    ib = i if i_b else jnp.broadcast_to(i, (S, *i.shape))
-    fb = frac if frac_b else jnp.broadcast_to(frac, (S, *frac.shape))
-    a = jnp.take_along_axis(xxb, ib, axis=-1)
-    b = jnp.take_along_axis(xxb, ib + 1, axis=-1)
-    return a * (1.0 - fb) + b * fb, True
-
-
 def max_delay_samples(base_s: float, depth_s: float,
                       sample_rate: int = 48_000) -> int:
     """Static history length for a chorus line (structural param)."""
@@ -90,17 +56,22 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
     pos = jnp.clip(pos, 0.0, L + T - 2)
     i = jnp.floor(pos).astype(jnp.int32)
     frac = pos - i.astype(f32)
-    if xx.ndim == 1:
-        wet = _frac_delay_gather(xx, i, frac)
+    if i.ndim == 1:
+        # shared tap trajectory (scalar LFO params + the lockstep sample
+        # clock — the normal case): plain fancy indexing with UNBATCHED
+        # indices.  Under the compiler's per-stream vmap this lowers to an
+        # operand-batched gather (whole stream rows per index), measured
+        # 12x faster on v5e than the explicitly-broadcast per-element
+        # gather below (0.2 s vs 2.6 s at [128, 480k]) — and unlike a
+        # custom_vmap wrapper it stays differentiable for train/fit.
+        a = xx[..., i]
+        b = xx[..., i + 1]
     else:
-        # explicit batch axes: vmap the custom-batched gather; the tap
-        # trajectory rides unbatched (in_axes=None) when it is shared,
-        # keeping the fast row-gather path
-        iax = 0 if i.ndim == xx.ndim else None
-        f = _frac_delay_gather
-        for _ in range(xx.ndim - 1):
-            f = jax.vmap(f, in_axes=(0, iax, iax))
-        wet = f(xx, i, frac)
+        # per-stream trajectories (modulated rate or per-stream clocks)
+        ib = jnp.broadcast_to(i, (*xx.shape[:-1], T))
+        a = jnp.take_along_axis(xx, ib, axis=-1)
+        b = jnp.take_along_axis(xx, ib + 1, axis=-1)
+    wet = a * (1.0 - frac) + b * frac
     mix = jnp.asarray(mix, f32)
     y = x * (1.0 - mix) + wet * mix
     new_hist = xx[..., -L:]

@@ -107,3 +107,21 @@ def test_grad_finite_at_bypass_levels():
         grads = jax.grad(loss)(cg.init_params(), cg.init_state(), ext, target)
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all(), grads
+
+
+def test_fit_differentiable_through_chorus():
+    """Gradient fitting must flow through Chorus graphs (config2) — guards
+    against non-differentiable gather wrappers."""
+    from dsp_stuff_tpu.train.fit import make_loss_fn
+    from dsp_stuff_tpu.models import config2_delay_chorus
+    g, meta = config2_delay_chorus()
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        loss = make_loss_fn(cg)
+        x = (np.random.default_rng(0).standard_normal((2, 512)) * 0.3
+             ).astype(np.float32)
+        ext = {str(meta["input"]): x}
+        target = jnp.zeros((2, 1, 512), jnp.float32)
+        grads = jax.grad(loss)(cg.init_params(), cg.init_state(), ext, target)
+    leaves = jax.tree.leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -317,3 +317,42 @@ def test_batched_render_continuation():
     h2, _, _ = cg.render(x[..., 512:], batch_shape=(4,), state=st)
     got = np.concatenate([np.asarray(h1), np.asarray(h2)], axis=-1)
     np.testing.assert_allclose(got, np.asarray(full), atol=1e-6)
+
+
+def test_intra_cycle_modulation_knob():
+    """A cycle member modulating another member's as_input knob must
+    compile and emit the knob writeback (emit_ports must keep mod-link
+    source sequences alive)."""
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.ids import IdSpace
+    import numpy as np
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    gn = g.add("gain", level=1.0)
+    od = g.add("overdrive", boost=2.0, drive=0.5, level=0.5)
+    out = g.add("output")
+    g.connect(inp, "out", gn, "in")
+    g.connect(gn, "out", od, "in")
+    g.connect(od, "out", gn, "in")      # back edge -> {gn, od} is a cycle
+    g.connect(gn, "out", od, "drive")   # intra-cycle modulation link
+    g.connect(od, "out", out, "in")
+    x = (np.random.default_rng(0).standard_normal(512) * 0.2
+         ).astype(np.float32)
+    outs, aux, _ = dst.render(g, {str(inp.id): x})
+    assert np.isfinite(outs).all()
+    assert f"{od.id}:drive" in aux["__knobs__"]
+
+
+def test_batched_continuation_many_nodes():
+    """Segmented batched continuation on a 10+ node graph (state-rank
+    comparison must not depend on dict iteration order)."""
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.models import config5_feedback_16node
+    import numpy as np
+    g, meta = config5_feedback_16node()
+    cg = dst.compile_graph(g)
+    x = (np.random.default_rng(1).standard_normal((4, 1, 512)) * 0.2
+         ).astype(np.float32)
+    _, _, st = cg.render(x, batch_shape=(4,))
+    outs2, _, _ = cg.render(x, batch_shape=(4,), state=st)
+    assert np.isfinite(np.asarray(outs2)).all()
