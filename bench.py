@@ -152,8 +152,9 @@ def main():
             best5 = min(best5, time.perf_counter() - t0)
     rtf_batched = (S * (Tb / SR) * 3) / best5
 
-    # --- accuracy vs oracle (parity policy, 1 s) ---
-    Ta = SR
+    # --- accuracy vs oracle (parity policy, 0.5 s; the f64-emulated TPU
+    # compile is minutes-slow, so keep this program small) ---
+    Ta = SR // 2 // 128 * 128
     xa = x[0, :, :Ta]
     with precision.policy("parity"):
         cg2 = dst.compile_graph(g)
