@@ -6,6 +6,8 @@ app launch; its only flag is --clean).  Headless equivalents:
     python -m dsp_stuff_tpu render GRAPH.json \\
         [--in IN.wav ...] [--out OUT.wav] [--seconds S] \\
         [--policy fast|parity|exact]                  # offline render
+    python -m dsp_stuff_tpu fit GRAPH.json --in dry.wav --target wet.wav
+                                                      # gradient amp-matching
     python -m dsp_stuff_tpu inspect GRAPH.json        # topology summary
     python -m dsp_stuff_tpu debug GRAPH.json --seconds S
                                                       # per-node stats render
@@ -47,6 +49,41 @@ def _cmd_render(args):
           + (f" -> {args.out}" if args.out else ""))
     for key in aux:
         print(f"aux: {key}")
+
+
+def _cmd_fit(args):
+    import numpy as np
+    from dsp_stuff_tpu.graph import load_graph, save_graph
+    from dsp_stuff_tpu.compiler.compile import compile_graph
+    from dsp_stuff_tpu.io import wav as wav_io
+    from dsp_stuff_tpu.train.fit import fit, spectral_loss, mse_loss
+    from dsp_stuff_tpu.utils.precision import set_policy
+
+    set_policy("fast")
+    g = load_graph(args.graph)
+    cg = compile_graph(g)
+    xin, rate = wav_io.read_wav(getattr(args, "in"))
+    tgt, rate2 = wav_io.read_wav(args.target)
+    if rate != 48_000 or rate2 != 48_000:
+        raise SystemExit("fit: inputs must be 48 kHz")
+    T = min(xin.shape[-1], tgt.shape[-1])
+    T -= T % 1024
+    x = wav_io.to_mono(xin)[:T]
+    t = wav_io.to_mono(tgt)[:T]
+    if not cg.input_ids or not cg.output_ids:
+        raise SystemExit("fit: graph needs an Input and an Output node")
+    ext = {str(cg.input_ids[0]): x[None]}
+    target = t[None, None, :]
+    dist = spectral_loss if args.loss == "spectral" else mse_loss
+    params, losses = fit(cg, ext, target, steps=args.steps, distance=dist,
+                         verbose=True)
+    # fold fitted sliders back into the graph and save
+    for nid_s, entry in params.items():
+        for name, val in entry.items():
+            g.nodes[int(nid_s)].params[name] = float(np.asarray(val))
+    out = args.out or args.graph
+    save_graph(g, out)
+    print(f"fit: final loss {losses[-1]:.3e}; wrote {out}")
 
 
 def _cmd_inspect(args):
@@ -93,6 +130,14 @@ def main(argv=None):
     rp.add_argument("--policy", default="fast",
                     choices=("fast", "parity", "exact"))
 
+    fp = sub.add_parser("fit", help="gradient-fit graph sliders to a target")
+    fp.add_argument("graph")
+    fp.add_argument("--in", required=True, help="input WAV (dry signal)")
+    fp.add_argument("--target", required=True, help="target WAV to match")
+    fp.add_argument("--steps", type=int, default=300)
+    fp.add_argument("--loss", default="mse", choices=("mse", "spectral"))
+    fp.add_argument("--out", help="output graph JSON (default: in place)")
+
     ip = sub.add_parser("inspect", help="print graph topology")
     ip.add_argument("graph")
 
@@ -101,7 +146,7 @@ def main(argv=None):
     dp.add_argument("--seconds", type=float, default=1.0)
 
     args = ap.parse_args(argv)
-    {"nodes": _cmd_nodes, "render": _cmd_render,
+    {"nodes": _cmd_nodes, "render": _cmd_render, "fit": _cmd_fit,
      "inspect": _cmd_inspect, "debug": _cmd_debug}[args.cmd](args)
 
 
