@@ -52,10 +52,15 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
          + jnp.asarray(depth_s, f32) * sample_rate
          * jnp.sin(f32(TAU) * jnp.asarray(rate_hz, f32)
                    * t_abs.astype(f32) / f32(sample_rate)))
-    pos = (L + jnp.arange(T, dtype=f32)) - d               # index into xx
+    # pos in f64: offline and streaming evaluate the same tap at offsets
+    # differing by an exact integer (the segment start), so a double
+    # subtraction keeps i/frac bit-identical across segmentations —
+    # in f32 the differing magnitudes round frac differently (~2e-5 wet
+    # error at block boundaries)
+    pos = (L + jnp.arange(T, dtype=jnp.float64)) - d.astype(jnp.float64)
     pos = jnp.clip(pos, 0.0, L + T - 2)
     i = jnp.floor(pos).astype(jnp.int32)
-    frac = pos - i.astype(f32)
+    frac = (pos - jnp.floor(pos)).astype(f32)
     if i.ndim == 1:
         # shared tap trajectory (scalar LFO params + the lockstep sample
         # clock — the normal case): plain fancy indexing with UNBATCHED

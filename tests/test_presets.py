@@ -79,3 +79,27 @@ def test_preset_json_roundtrip():
         a, _, _ = dst.render(g, {str(meta["input"]): x})
         b, _, _ = dst.render(g2, {str(meta["input"]): x})
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_config1_parity_vs_oracle():
+    """Graph-level end-to-end parity: config1 (gain -> biquad low-pass)
+    under the parity policy vs the composed sequential oracle."""
+    import oracle
+    g, meta = PRESETS["config1"]()
+    x = _input(4096)
+    with precision.policy("parity"):
+        outs, _, _ = dst.render(g, {str(meta["input"]): x})
+    F32 = np.float32
+
+    def hop(v):
+        return (v / F32(F32(1.0) + F32(0.0001))).astype(F32)
+
+    bq = g.nodes_of_type("biquad")[0]
+    p = bq.params
+    v = hop(x.astype(F32))
+    v = (v * F32(1.5)).astype(F32)
+    v, _ = oracle.biquad_df1(hop(v), p["a0"], p["a1"], p["a2"],
+                             p["b0"], p["b1"], p["b2"])
+    want = hop(v)
+    db = oracle.max_err_dbfs(np.asarray(outs)[0], want)
+    assert db <= -90.0, db

@@ -123,3 +123,22 @@ def test_make_ring_fallback_semantics():
         assert got.size == 64
         ring.drain()
         assert ring.readable == 0
+
+
+def test_stream_matches_offline_with_chorus():
+    """Streaming chains the chorus sample clock (scalar lockstep state)
+    identically to a one-shot render."""
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    ch = g.add("chorus", rate=2.0, depth=0.002, base=0.006, mix=0.6)
+    rv = g.add("reverb", seconds=0.005, decay=0.5)
+    out = g.add("output")
+    g.chain(inp, ch, rv, out)
+    T = 1024
+    x = (RNG.standard_normal(T) * 0.3).astype(np.float32)
+    offline, _, _ = dst.render(g, {str(inp.id): x})
+    sess = StreamSession(g, block_size=128)
+    blocks = [sess.process({str(inp.id): x[i:i + 128]})
+              for i in range(0, T, 128)]
+    streamed = np.concatenate([b[0] for b in blocks])
+    np.testing.assert_allclose(streamed, offline[0], atol=2e-6)
