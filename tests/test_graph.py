@@ -356,3 +356,32 @@ def test_batched_continuation_many_nodes():
     _, _, st = cg.render(x, batch_shape=(4,))
     outs2, _, _ = cg.render(x, batch_shape=(4,), state=st)
     assert np.isfinite(np.asarray(outs2)).all()
+
+
+def test_muff_renders_and_responds_to_params():
+    """Muff (license-clean Big Muff model): renders finite audio, and the
+    tone/level/sustain knobs audibly change the output."""
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.ids import IdSpace
+    import numpy as np
+
+    def run(**params):
+        g = dst.Graph(IdSpace())
+        inp = g.add("input")
+        mf = g.add("muff", **params)
+        out = g.add("output")
+        g.chain(inp, mf, out)
+        x = (np.random.default_rng(0).standard_normal(1024) * 0.3
+             ).astype(np.float32)
+        outs, _, _ = dst.render(g, {str(inp.id): x})
+        return np.asarray(outs)[0]
+
+    base = run(toan=0.5, level=0.5, sustain=0.5)
+    assert np.isfinite(base).all() and np.abs(base).max() > 1e-4
+    dark = run(toan=0.0, level=0.5, sustain=0.5)
+    loud = run(toan=0.5, level=1.0, sustain=0.5)
+    fuzzy = run(toan=0.5, level=0.5, sustain=1.0)
+    for other in (dark, loud, fuzzy):
+        assert not np.allclose(base, other)
+    # level=1.0 doubles level=0.5's output exactly (output-stage linearity)
+    np.testing.assert_allclose(loud, base * 2.0, rtol=1e-5, atol=1e-7)
