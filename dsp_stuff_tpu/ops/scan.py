@@ -280,6 +280,64 @@ def _biquad_jit(x, coeffs, state, internal_dtype, sequential):
     return y, new_state
 
 
+def _vec2_recurrence(M, w, C2: int = 128):
+    """s_k = M s_{k-1} + w_k with constant [2,2] M, s_{-1} = 0, w [..., K, 2].
+
+    Same blocked scheme as the scalar case, on 2-vectors: within a chunk
+    of C2 steps the zero-state response is one einsum against the masked
+    power tensor  Lt2[j, i] = M^(i-j)  (a [C2, C2, 2, 2] constant), chunk
+    carries recurse.  A K~22k associative scan of 2x2 matmuls was the
+    last remaining while-loop in the compiled chain (~0.4 ms/render).
+    """
+    f32 = jnp.float32
+    K = w.shape[-2]
+    if K <= 8:
+        Mb = jnp.broadcast_to(M, (*w.shape[:-1], 2, 2))
+
+        def combine(l, r):
+            A1, v1 = l
+            A2, v2 = r
+            return jnp.einsum("...ij,...jk->...ik", A2, A1), \
+                jnp.einsum("...ij,...j->...i", A2, v1) + v2
+
+        _, s = jax.lax.associative_scan(combine, (Mb, w), axis=w.ndim - 2)
+        return s
+
+    KG = -(-K // C2)
+    pad = KG * C2 - K
+    wp = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, pad), (0, 0)])
+    W = wp.reshape(*w.shape[:-2], KG, C2, 2)
+
+    # M^0..M^C2 by associative scan over log C2 levels (tiny)
+    Mb = jnp.broadcast_to(M, (C2, 2, 2))
+
+    def mcomb(l, r):
+        return jnp.einsum("...ij,...jk->...ik", r, l,
+                          preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    Mpow = jnp.concatenate([jnp.eye(2, dtype=f32)[None],
+                            jax.lax.associative_scan(mcomb, Mb, axis=0)])
+    i = jnp.arange(C2)
+    Lt2 = jnp.where((i[:, None] <= i[None, :])[..., None, None],
+                    Mpow[jnp.clip(i[None, :] - i[:, None], 0, C2)], 0.0)
+
+    zs = jnp.einsum("jiab,...kjb->...kia", Lt2, W,
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)   # [..., KG, C2, 2]
+
+    # carries across super-chunks: e_m = M^C2 e_{m-1} + zs[m, -1]
+    ends = zs[..., :, C2 - 1, :]                           # [..., KG, 2]
+    e = _vec2_recurrence(Mpow[C2], ends, C2)               # [..., KG, 2]
+    zero = jnp.zeros_like(e[..., :1, :])
+    carry_in = jnp.concatenate([zero, e[..., :-1, :]], axis=-2)
+    # fold: s[m, i] = zs[m, i] + M^(i+1) carry_in[m]
+    s = zs + jnp.einsum("iab,...kb->...kia", Mpow[1:], carry_in,
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
+    return s.reshape(*w.shape[:-2], KG * C2, 2)[..., :K, :]
+
+
 def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     """Second-order recurrence as MXU matmuls (block-parallel IIR).
 
@@ -348,15 +406,7 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
                     jnp.broadcast_to(jnp.asarray(y2, f32), batch)],
                    axis=-1)                                # [..., 2]
     w = w.at[..., 0, :].add(jnp.einsum("ij,...j->...i", M, s0))
-    Mb = jnp.broadcast_to(M, (*w.shape[:-1], 2, 2))
-
-    def combine(l, r):
-        A1, v1 = l
-        A2, v2 = r
-        return jnp.einsum("...ij,...jk->...ik", A2, A1), \
-            jnp.einsum("...ij,...j->...i", A2, v1) + v2
-
-    _, s = jax.lax.associative_scan(combine, (Mb, w), axis=w.ndim - 2)
+    s = _vec2_recurrence(M, w)
     # carry INTO chunk k is s_{k-1} (s0 for k = 0)
     s_in = jnp.concatenate([s0[..., None, :], s[..., :-1, :]], axis=-2)
 
