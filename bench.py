@@ -124,6 +124,39 @@ def main():
 
     # --- batched throughput: 16-node feedback graph, 64 stereo streams ---
     # (BASELINE config #5: 128 mono streams = 64 stereo pairs, 10 s each)
+    # Secondary sections degrade gracefully: a remote-compile flake must
+    # not kill the headline metric.
+    rtf_batched = None
+    acc_dbfs = None
+    try:
+        rtf_batched = _batched_metric(jax, dst, precision, rng)
+    except Exception as e:
+        print(f"bench: batched metric failed: {e!r}", file=sys.stderr)
+
+    try:
+        acc_dbfs = _accuracy_metric(jax, dst, precision, g, inp_id, x)
+    except Exception as e:
+        print(f"bench: accuracy metric failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rtf_10node_stereo_chain_48k",
+        "value": round(rtf, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 1.0, 1),
+        "device": str(dev),
+        "audio_seconds": SECONDS,
+        "wall_seconds_best": round(best, 4),
+        "accuracy_dbfs_vs_oracle_parity":
+            round(float(acc_dbfs), 1) if acc_dbfs is not None else None,
+        "rtf_16node_feedback_64_stereo_streams":
+            round(rtf_batched, 1) if rtf_batched is not None else None,
+        "target_rtf": 1000.0,
+        "target_accuracy_dbfs": -90.0,
+    }))
+
+
+def _batched_metric(jax, dst, precision, rng):
+    import jax.numpy as jnp
     from dsp_stuff_tpu.models import config5_feedback_16node
     S, Tb = 128, SR * 10
     g5, meta5 = config5_feedback_16node()
@@ -150,10 +183,12 @@ def main():
             t0 = time.perf_counter()
             float(run5(st5, ext5))
             best5 = min(best5, time.perf_counter() - t0)
-    rtf_batched = (S * (Tb / SR) * 3) / best5
+    return (S * (Tb / SR) * 3) / best5
 
-    # --- accuracy vs oracle (parity policy, 0.5 s; the f64-emulated TPU
-    # compile is minutes-slow, so keep this program small) ---
+
+def _accuracy_metric(jax, dst, precision, g, inp_id, x):
+    # accuracy vs oracle (parity policy, 0.5 s; the f64-emulated TPU
+    # compile is minutes-slow, so keep this program small)
     Ta = SR // 2 // 128 * 128
     xa = x[0, :, :Ta]
     with precision.policy("parity"):
@@ -162,21 +197,7 @@ def main():
         got = np.asarray(outs)[0]
     want = oracle_chain(xa[0])
     err = np.max(np.abs(got.astype(np.float64) - want.astype(np.float64)))
-    acc_dbfs = 20.0 * np.log10(err) if err > 0 else float("-inf")
-
-    print(json.dumps({
-        "metric": "rtf_10node_stereo_chain_48k",
-        "value": round(rtf, 1),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / 1.0, 1),
-        "device": str(dev),
-        "audio_seconds": SECONDS,
-        "wall_seconds_best": round(best, 4),
-        "accuracy_dbfs_vs_oracle_parity": round(float(acc_dbfs), 1),
-        "rtf_16node_feedback_64_stereo_streams": round(rtf_batched, 1),
-        "target_rtf": 1000.0,
-        "target_accuracy_dbfs": -90.0,
-    }))
+    return 20.0 * np.log10(err) if err > 0 else float("-inf")
 
 
 if __name__ == "__main__":
