@@ -103,3 +103,19 @@ def test_config1_parity_vs_oracle():
     want = hop(v)
     db = oracle.max_err_dbfs(np.asarray(outs)[0], want)
     assert db <= -90.0, db
+
+
+def test_config5_stereo_pair_batching():
+    """BASELINE names batch_shape=(64, 2): nested vmap with shared
+    (lockstep) state leaves must compile and match the flat batch."""
+    g, meta = PRESETS["config5"]()
+    T = 512
+    x = _input(T, (4, 2))
+    with precision.policy("fast"):
+        outs, _, st = dst.render(g, {str(meta["input"]): x},
+                                 batch_shape=(4, 2))
+        flat, _, _ = dst.render(g, {str(meta["input"]): x.reshape(8, T)},
+                                batch_shape=(8,))
+    assert outs.shape == (4, 2, 1, T)
+    np.testing.assert_allclose(np.asarray(outs).reshape(8, 1, T),
+                               np.asarray(flat), atol=1e-6)
