@@ -119,3 +119,31 @@ def test_config5_stereo_pair_batching():
     assert outs.shape == (4, 2, 1, T)
     np.testing.assert_allclose(np.asarray(outs).reshape(8, 1, T),
                                np.asarray(flat), atol=1e-6)
+
+
+def test_parity_no_drift_long_render():
+    """Reassociation error must not accumulate over long audio: the
+    10-node chain at 10 s stays at the ~-122 dBFS parity floor (SURVEY's
+    'IIR numerics vs parallelism' hard part).  Runs the slow per-sample
+    oracle, ~15 s."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    g, inp_id = bench.build_chain()
+    T = 48_000 * 10
+    x = (np.random.default_rng(0).standard_normal(T) * 0.25
+         ).astype(np.float32)
+    with precision.policy("parity"):
+        cg = dst.compile_graph(g)
+        outs, _, _ = cg.render({str(inp_id): x})
+    got = np.asarray(outs)[0].astype(np.float64)
+    want = bench.oracle_chain(x).astype(np.float64)
+    err = np.max(np.abs(got - want))
+    db = 20 * np.log10(err) if err > 0 else -np.inf
+    assert db <= -90.0, db
