@@ -68,10 +68,15 @@ def _cmd_fit(args):
         raise SystemExit("fit: inputs must be 48 kHz")
     T = min(xin.shape[-1], tgt.shape[-1])
     T -= T % 1024
+    if T == 0:
+        raise SystemExit("fit: input/target must be at least 1024 samples")
     x = wav_io.to_mono(xin)[:T]
     t = wav_io.to_mono(tgt)[:T]
     if not cg.input_ids or not cg.output_ids:
         raise SystemExit("fit: graph needs an Input and an Output node")
+    if len(cg.input_ids) > 1:
+        raise SystemExit("fit: only single-Input graphs are supported "
+                         f"(this graph has {len(cg.input_ids)} Input nodes)")
     ext = {str(cg.input_ids[0]): x[None]}
     target = t[None, None, :]
     dist = spectral_loss if args.loss == "spectral" else mse_loss

@@ -297,8 +297,11 @@ def _vec2_recurrence(M, w, C2: int = 128):
         def combine(l, r):
             A1, v1 = l
             A2, v2 = r
-            return jnp.einsum("...ij,...jk->...ik", A2, A1), \
-                jnp.einsum("...ij,...j->...i", A2, v1) + v2
+            hi = jax.lax.Precision.HIGHEST
+            return jnp.einsum("...ij,...jk->...ik", A2, A1,
+                              preferred_element_type=f32, precision=hi), \
+                jnp.einsum("...ij,...j->...i", A2, v1,
+                           preferred_element_type=f32, precision=hi) + v2
 
         _, s = jax.lax.associative_scan(combine, (Mb, w), axis=w.ndim - 2)
         return s

@@ -129,12 +129,7 @@ def test_parity_no_drift_long_render():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "benchmod", os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench.py"))
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    import bench
     g, inp_id = bench.build_chain()
     T = 48_000 * 10
     x = (np.random.default_rng(0).standard_normal(T) * 0.25
