@@ -91,35 +91,8 @@ def main():
     x = (rng.standard_normal((2, 1, T)) * 0.25).astype(np.float32)  # stereo
 
     # --- throughput (fast policy) ---
-    # Timing protocol: N_CHAIN renders chained through the carried state
-    # inside ONE jitted lax.scan (one XLA program, one dispatch — per-call
-    # dispatch through the remote-PJRT tunnel costs ~7 ms, which would
-    # otherwise dominate), then ONE scalar host fetch as the completion
-    # barrier (block_until_ready is NOT reliable over the tunnel).
-    import jax.numpy as jnp
-    from jax import lax
-    with precision.policy("fast"):
-        cg = dst.compile_graph(g)
-        state = jax.device_put(cg.broadcast_state(cg.init_state(), (2,)))
-        ext = jax.device_put({str(inp_id): x[:, 0, :]})
-        vfn = jax.vmap(cg.fn, in_axes=(cg.state_axes(), 0, None),
-                       out_axes=(cg.state_axes(), 0, 0))
-        oid = cg.output_ids[0]
-
-        @jax.jit
-        def run_chain(state, ext):
-            def body(st, _):
-                st, outs, _aux = vfn(st, ext, None)
-                return st, jnp.sum(outs[oid])
-            st, sums = lax.scan(body, state, None, length=N_CHAIN)
-            return jnp.sum(sums)
-
-        float(run_chain(state, ext))                      # compile + warm
-        best = float("inf")
-        for _ in range(N_TIMED):
-            t0 = time.perf_counter()
-            float(run_chain(state, ext))                  # fetch = barrier
-            best = min(best, time.perf_counter() - t0)
+    best = _time_chained_renders(g, {str(inp_id): x[:, 0, :]},
+                                 batch=2, n_chain=N_CHAIN)
     rtf = SECONDS * N_CHAIN / best
 
     # --- batched throughput: 16-node feedback graph, 64 stereo streams ---
@@ -155,34 +128,52 @@ def main():
     }))
 
 
-def _batched_metric(jax, dst, precision, rng):
+def _time_chained_renders(g, ext_np, batch: int, n_chain: int) -> float:
+    """Best-of-N_TIMED wall seconds for n_chain renders of ``g`` over a
+    [batch, T] input, under the fast policy.
+
+    Timing protocol: the renders chain through the carried state inside
+    ONE jitted lax.scan (one XLA program, one dispatch — per-call dispatch
+    through the remote-PJRT tunnel costs ~7 ms, which would otherwise
+    dominate), then ONE scalar host fetch as the completion barrier
+    (block_until_ready is NOT reliable over the tunnel)."""
+    import jax
     import jax.numpy as jnp
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.utils import precision
+
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        state = jax.device_put(cg.broadcast_state(cg.init_state(), (batch,)))
+        ext = jax.device_put(ext_np)
+        vfn = jax.vmap(cg.fn, in_axes=(cg.state_axes(), 0, None),
+                       out_axes=(cg.state_axes(), 0, 0))
+        oid = cg.output_ids[0]
+
+        @jax.jit
+        def run(state, ext):
+            def body(st, _):
+                st, outs, _aux = vfn(st, ext, None)
+                return st, jnp.sum(outs[oid])
+            st, sums = jax.lax.scan(body, state, None, length=n_chain)
+            return jnp.sum(sums)
+
+        float(run(state, ext))                            # compile + warm
+        best = float("inf")
+        for _ in range(N_TIMED):
+            t0 = time.perf_counter()
+            float(run(state, ext))                        # fetch = barrier
+            best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _batched_metric(jax, dst, precision, rng):
     from dsp_stuff_tpu.models import config5_feedback_16node
     S, Tb = 128, SR * 10
     g5, meta5 = config5_feedback_16node()
     xb = (rng.standard_normal((S, Tb)) * 0.2).astype(np.float32)
-    with precision.policy("fast"):
-        cg5 = dst.compile_graph(g5)
-        st5 = jax.device_put(cg5.broadcast_state(cg5.init_state(), (S,)))
-        ext5 = jax.device_put({str(meta5["input"]): xb})
-        vfn5 = jax.vmap(cg5.fn, in_axes=(cg5.state_axes(), 0, None),
-                        out_axes=(cg5.state_axes(), 0, 0))
-        oid5 = cg5.output_ids[0]
-
-        @jax.jit
-        def run5(state, ext):
-            def body(st, _):
-                st, outs, _a = vfn5(st, ext, None)
-                return st, jnp.sum(outs[oid5])
-            st, sums = jax.lax.scan(body, state, None, length=3)
-            return jnp.sum(sums)
-
-        float(run5(st5, ext5))
-        best5 = float("inf")
-        for _ in range(N_TIMED):
-            t0 = time.perf_counter()
-            float(run5(st5, ext5))
-            best5 = min(best5, time.perf_counter() - t0)
+    best5 = _time_chained_renders(g5, {str(meta5["input"]): xb},
+                                  batch=S, n_chain=3)
     return (S * (Tb / SR) * 3) / best5
 
 
