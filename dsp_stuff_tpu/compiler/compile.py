@@ -60,14 +60,46 @@ def _fanin_divisor(n: int) -> np.float32:
 
 
 def _avg(sources: list, T: int):
-    """Fan-in average; returns (signal [T], n_connected)."""
+    """Fan-in average; returns (signal [T], n_connected).
+
+    Sum order contract: sources arrive in ``graph.links`` insertion order,
+    which equals ascending-LinkId order in the reference (restore_config
+    generates LinkIds in JSON list order, runtime.rs:118-120).  The
+    reference's own within-port sum order is the iteration order of a
+    ``HashSet<LinkId>`` (runtime.rs:38,175-180 feeding collect_and_average
+    node.rs:173-184) -- randomized per process -- so for >= 3 sources no
+    fixed order can be bitwise-stable against it; ours is the canonical
+    deterministic choice within that envelope.  The f32 chain ``(s0+s1)+s2``
+    matches the oracle's (tests/oracle fanin_average) exactly.
+
+    Under the 'exact' policy two XLA rewrites must be blocked to get the
+    reference's bit pattern:
+
+    * FMA contraction of a producer's multiply into the fan-in add (the
+      Rust reference compiles mul and add as two roundings) -- each source
+      passes through ``lax.reduce_precision``, an f32 identity the
+      simplifier never removes (see ops/scan._mul_unfused);
+    * the algebraic simplifier's ``x / const -> x * (1/const)`` recip-mul
+      rewrite (~1-ulp error vs the reference's true f32 division,
+      node.rs:190-192) -- the divisor goes behind an
+      ``optimization_barrier`` so it is no longer a constant and LLVM
+      emits an IEEE divide."""
     n = len(sources)
     if n == 0:
         return jnp.zeros((T,), jnp.float32), 0
+    from dsp_stuff_tpu.utils import precision
+    exact = precision.get_policy().sequential_recurrences
+    if exact and n > 1:
+        sources = [jax.lax.reduce_precision(s, exponent_bits=8,
+                                            mantissa_bits=23)
+                   for s in sources]
     acc = sources[0]
     for s in sources[1:]:
         acc = acc + s
-    return acc / _fanin_divisor(n), n
+    d = _fanin_divisor(n)
+    if exact:
+        d = jax.lax.optimization_barrier(jnp.float32(d))
+    return acc / d, n
 
 
 def _map_mod(sig, p: ParamSpec):

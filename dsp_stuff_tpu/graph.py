@@ -123,6 +123,10 @@ class Graph:
     # -- queries ---------------------------------------------------------
 
     def in_links(self, nid: int, port: str) -> list[Link]:
+        """A port's sources in insertion order (== JSON list order on load
+        == the reference's ascending-LinkId order after restore).  This is
+        the canonical fan-in sum order the compiler and oracle share; see
+        compiler.compile._avg for the bit-exactness contract."""
         return [l for l in self.links if l.dst == nid and l.dst_port == port]
 
     def out_links(self, nid: int, port: str) -> list[Link]:

@@ -63,6 +63,51 @@ def test_fan_in_averaging():
     assert_dbfs(outs[0], want, -110.0)
 
 
+def test_fan_in_three_way_exact_bitwise():
+    """>= 3 sources into one port: the f32 sum must follow the canonical
+    link-insertion order bit-for-bit (compile._avg contract).  The reference
+    itself randomizes within-port order via HashSet iteration
+    (runtime.rs:38,175-180), so canonical-order-vs-oracle is the strongest
+    claim possible (VERDICT r1 missing #5)."""
+    from dsp_stuff_tpu.utils import precision
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    gains = [g.add("gain", level=lv) for lv in (1.0, 3.0, 0.25)]
+    out = g.add("output")
+    for gn in gains:
+        g.connect(inp, "out", gn, "in")
+        g.connect(gn, "out", out, "in")
+    with precision.policy("exact"):
+        outs, _, _ = dst.render(g, x[None])
+    xin = oracle.fanin_average([x])
+    ys = [(xin * np.float32(lv)).astype(np.float32)
+          for lv in (1.0, 3.0, 0.25)]
+    want = oracle.fanin_average(ys)
+    np.testing.assert_array_equal(np.asarray(outs[0]), want)
+
+
+def test_chain_exact_bitwise_end_to_end():
+    """input -> gain -> low_pass -> output, whole graph bit-exact vs the
+    oracle under 'exact' (fan-in divisions + the sequential recurrence)."""
+    from dsp_stuff_tpu.utils import precision
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    gn = g.add("gain", level=1.7)
+    lp = g.add("low_pass", ratio=0.6)
+    out = g.add("output")
+    g.chain(inp, gn, lp, out)
+    with precision.policy("exact"):
+        outs, _, _ = dst.render(g, x[None])
+    xin = oracle.fanin_average([x])
+    y = (xin * np.float32(1.7)).astype(np.float32)
+    y = oracle.fanin_average([y])
+    y = oracle.low_pass(y, np.float32(0.6))[0]
+    want = oracle.fanin_average([y])
+    np.testing.assert_array_equal(np.asarray(outs[0]), want)
+
+
 def test_unconnected_input_silence():
     """add with only port 'a' connected: b reads silence (SURVEY 2.4 #2)."""
     x = RNG.standard_normal(T).astype(np.float32)
