@@ -79,11 +79,9 @@ def _avg(sources: list, T: int):
       Rust reference compiles mul and add as two roundings) -- each source
       passes through ``lax.reduce_precision``, an f32 identity the
       simplifier never removes (see ops/scan._mul_unfused);
-    * the algebraic simplifier's ``x / const -> x * (1/const)`` recip-mul
-      rewrite (~1-ulp error vs the reference's true f32 division,
-      node.rs:190-192) -- the divisor goes behind an
-      ``optimization_barrier`` so it is no longer a constant and LLVM
-      emits an IEEE divide."""
+    * the algebraic simplifier's divide rewrites (recip-mul and
+      divide-chain fusion) vs the reference's true f32 division
+      (node.rs:190-192) -- handled by ``precision.div_ieee``."""
     n = len(sources)
     if n == 0:
         return jnp.zeros((T,), jnp.float32), 0
@@ -96,10 +94,9 @@ def _avg(sources: list, T: int):
     acc = sources[0]
     for s in sources[1:]:
         acc = acc + s
-    d = _fanin_divisor(n)
     if exact:
-        d = jax.lax.optimization_barrier(jnp.float32(d))
-    return acc / d, n
+        return precision.div_ieee(acc, _fanin_divisor(n)), n
+    return acc / _fanin_divisor(n), n
 
 
 def _map_mod(sig, p: ParamSpec):

@@ -60,9 +60,10 @@ class Reverb:
         T = x.shape[-1]
         if T > D:      # block longer than the line: use the general path
             return Reverb.process_seq(params, state, inputs)
+        from dsp_stuff_tpu.utils.precision import exact_mul
         idx = (pos + jnp.arange(T, dtype=jnp.int32)) % D
         delayed = jnp.take(ring, idx, axis=-1)        # the T oldest samples
-        y = x + delayed * jnp.asarray(params["decay"], jnp.float32)
+        y = x + exact_mul(delayed, params["decay"])
         ring = ring.at[..., idx].set(y)               # overwrite the oldest
         return {"out": y}, {"ring": ring, "pos": (pos + T) % D}
 

@@ -43,12 +43,16 @@ class Add:
                       label="Ratio (a:b)"),),
 )
 class Mix:
-    """out = b*ratio + a*(1-ratio) (mix.rs:33-47)."""
+    """out = b*ratio + a*(1-ratio) (mix.rs:33-47).  Both products are
+    order-protected under 'exact' so XLA cannot FMA-contract one of them
+    into the central add (rustc emits three separate roundings)."""
 
     @staticmethod
     def process_seq(params, state, inputs):
+        from dsp_stuff_tpu.utils.precision import exact_mul
         r = params["ratio"]
-        return {"out": inputs["b"] * r + inputs["a"] * (1.0 - r)}, state
+        return {"out": exact_mul(inputs["b"], r)
+                + exact_mul(inputs["a"], 1.0 - r)}, state
 
 
 @register_node(

@@ -29,7 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from dsp_stuff_tpu.utils.precision import get_policy
+from dsp_stuff_tpu.utils.precision import get_policy, mul_unfused
 
 
 def delay_samples(seconds: float, sample_rate: int = 48_000) -> int:
@@ -58,23 +58,29 @@ def feedback_comb(x, decay, delay: int, history=None):
     if history is None:
         history = jnp.zeros((*x.shape[:-1], D), f32)
     associative = get_policy().name == "fast"
+    # 'exact': keep the reference's two roundings (t = delayed*decay;
+    # y = x + t) out of LLVM's reach -- FMA contraction is the only thing
+    # standing between this comb and bitwise parity
+    unfused = get_policy().sequential_recurrences
     return _feedback_comb_jit(x, jnp.asarray(decay, f32), history, D,
-                              associative)
+                              associative, unfused)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _feedback_comb_jit(x, decay, history, D: int, associative: bool):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _feedback_comb_jit(x, decay, history, D: int, associative: bool,
+                       unfused: bool):
     f32 = jnp.float32
     T = x.shape[-1]
     batch = x.shape[:-1]
+    mul = mul_unfused if unfused else (lambda a, b: a * b)
 
     if T <= D:
         # Block shorter than the delay line (the in-cycle / streaming case,
         # T = 128 vs D up to 48000): every delayed sample is already in
         # history, so the comb is one fused elementwise op — no chunking.
         # (The general path would zero-pad the block to D: 375x wasted
-        # work per block for a 1 s delay.)  Exact, policy-independent.
-        y = x + history[..., :T] * decay
+        # work per block for a 1 s delay.)
+        y = x + mul(history[..., :T], decay)
         new_hist = jnp.concatenate([history[..., T:], y], axis=-1)
         return y, new_hist
 
@@ -99,7 +105,7 @@ def _feedback_comb_jit(x, decay, history, D: int, associative: bool):
         last = yc[-1]
     else:
         def step(prev, xk):
-            y = xk + prev * decay
+            y = xk + mul(prev, decay)
             return y, y
 
         last, yc = jax.lax.scan(step, history, xc)

@@ -179,22 +179,9 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     return y.reshape(*batch, K * C)[..., :T].astype(f32)
 
 
-def _mul_unfused(a, b):
-    """f32 multiply that cannot be FMA-contracted with a following add.
-
-    XLA's backends contract ``a*y + b`` into a single-rounding fma at the
-    LLVM level (lax.optimization_barrier does not prevent it), while the
-    Rust reference compiles to separate mul and add roundings.  A plain
-    f64-mul-then-convert is also insufficient: XLA's algebraic simplifier
-    legally rewrites convert_f32(mul_f64(convert(a), convert(b))) back to
-    mul_f32, re-exposing the contraction.  ``lax.reduce_precision`` is a
-    semantic op the simplifier never removes: compute the product exactly
-    in f64, round it onto the f32 grid (innocuous double rounding — f64's
-    53 bits >= 2*24+2, Figueroa), and convert.  Bit-identical to an
-    unfused f32 multiply.  Used only on 'exact'-policy paths."""
-    p = a.astype(jnp.float64) * b.astype(jnp.float64)
-    p = jax.lax.reduce_precision(p, exponent_bits=8, mantissa_bits=23)
-    return p.astype(jnp.float32)
+# canonical implementation lives in utils.precision (shared by every
+# 'exact'-policy kernel); see its docstring for the full rationale
+from dsp_stuff_tpu.utils.precision import mul_unfused as _mul_unfused
 
 
 def _first_order_sequential(a, b, y0):

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from dsp_stuff_tpu.utils.precision import get_policy
+from dsp_stuff_tpu.utils.precision import exact_div, exact_mul, get_policy
 
 _F32 = jnp.float32
 BYPASS_EPS = np.float32(0.001)
@@ -67,9 +67,11 @@ def clip(x):
 
 
 def hard_clip(x, level):
-    """clip(x*level)/level (distort.rs:63-69)."""
+    """clip(x*level)/level (distort.rs:63-69).  The trailing division is
+    rewrite-protected under 'exact' (recip-mul is ~1 ulp off a true f32
+    divide when level is a trace-time constant)."""
     level = jnp.asarray(level, _F32)
-    return _bypass(level, clip(x * level) / _safe_level(level), x)
+    return _bypass(level, exact_div(clip(x * level), _safe_level(level)), x)
 
 
 def soft_clip(x, level):
@@ -77,10 +79,14 @@ def soft_clip(x, level):
     (distort.rs:71-86)."""
     level = jnp.asarray(level, _F32)
     v = x * level
+    # (v*v)*v matches Rust powi(3) (LLVM repeated multiplication); the
+    # branch order sends NaN to the -2/3 arm exactly like the reference's
+    # if/else-if/else chain (distort.rs:77-83)
+    inner = v - exact_div((v * v) * v, _F32(3.0))
     shaped = jnp.where(v > 1.0, _F32(2.0 / 3.0),
-                       jnp.where(v < -1.0, _F32(-2.0 / 3.0),
-                                 v - (v ** 3) / 3.0))
-    return _bypass(level, clip(shaped) / _safe_level(level), x)
+                       jnp.where((v >= -1.0) & (v <= 1.0), inner,
+                                 _F32(-2.0 / 3.0)))
+    return _bypass(level, exact_div(clip(shaped), _safe_level(level)), x)
 
 
 def tanh_clip(x, level):
@@ -92,7 +98,7 @@ def tanh_clip(x, level):
 def recip_soft_clip(x, level):
     """sign(x) * (1 - 1/(|x|*level + 1)) (distort.rs:96-102)."""
     level = jnp.asarray(level, _F32)
-    shaped = jnp.sign(x) * (1.0 - 1.0 / (jnp.abs(x) * level + 1.0))
+    shaped = jnp.sign(x) * (1.0 - 1.0 / (exact_mul(jnp.abs(x), level) + 1.0))
     return _bypass(level, shaped, x)
 
 
@@ -117,7 +123,9 @@ def square_shape(x, level):
 
 def chebyshev4(x, level):
     """8v^4 - 8v^2 + 1 with v = x*level (distort.rs:136-144).
-    Note: emits DC +1 at silence -- reference quirk, kept."""
+    Note: emits DC +1 at silence -- reference quirk, kept.  The 8x products
+    are exact (power-of-two scaling), so FMA contraction of the following
+    add/sub cannot change the result -- no 'exact' guard needed."""
     level = jnp.asarray(level, _F32)
     v = x * level
     v2 = v * v

@@ -21,8 +21,6 @@ evaluated on the 128 grid inside the step regardless.
 
 from __future__ import annotations
 
-import collections
-
 import jax
 import numpy as np
 
@@ -31,34 +29,56 @@ from dsp_stuff_tpu.graph import Graph
 
 
 class _PyRing:
-    """NumPy fallback for native.Ring with identical semantics."""
+    """NumPy fallback for native.Ring with identical semantics: an ndarray
+    circular buffer (vectorized slice copies -- no per-sample Python, so
+    CI-without-g++ streams at array speed)."""
 
     def __init__(self, capacity: int = 8192):
         self._cap = capacity
-        self._q: collections.deque = collections.deque()
+        self._buf = np.zeros(capacity, np.float32)
+        self._head = 0          # read position
+        self._size = 0
 
     def write(self, x) -> int:
         x = np.asarray(x, np.float32).ravel()
-        k = min(x.size, self._cap - len(self._q))
-        self._q.extend(x[:k].tolist())
+        k = min(x.size, self._cap - self._size)
+        if k:
+            start = (self._head + self._size) % self._cap
+            end = start + k
+            if end <= self._cap:
+                self._buf[start:end] = x[:k]
+            else:
+                split = self._cap - start
+                self._buf[start:] = x[:split]
+                self._buf[:end - self._cap] = x[split:k]
+            self._size += k
         return k
 
     def read(self, n: int) -> np.ndarray:
-        k = min(n, len(self._q))
-        out = np.fromiter((self._q.popleft() for _ in range(k)), np.float32,
-                          count=k)
+        k = min(n, self._size)
+        out = np.empty(k, np.float32)
+        end = self._head + k
+        if end <= self._cap:
+            out[:] = self._buf[self._head:end]
+        else:
+            split = self._cap - self._head
+            out[:split] = self._buf[self._head:]
+            out[split:] = self._buf[:end - self._cap]
+        self._head = end % self._cap
+        self._size -= k
         return out
 
     @property
     def readable(self) -> int:
-        return len(self._q)
+        return self._size
 
     @property
     def writable(self) -> int:
-        return self._cap - len(self._q)
+        return self._cap - self._size
 
     def drain(self) -> None:
-        self._q.clear()
+        self._head = 0
+        self._size = 0
 
 
 def make_ring(capacity: int = 8192):
@@ -89,6 +109,9 @@ class StreamSession:
                          for nid in self.cg.input_ids}
         self.out_rings = {nid: make_ring(ring_capacity)
                           for nid in self.cg.output_ids}
+        # per-output catch-up counter (the reference's per-device AtomicU8
+        # resync counter, devices.rs:33,150-156)
+        self._catchup = {nid: 0 for nid in self.cg.output_ids}
 
     # -- direct block API --------------------------------------------------
 
@@ -137,18 +160,40 @@ class StreamSession:
         return True
 
     def drain_output(self, node_id: int, n: int) -> np.ndarray:
-        """Playback-side read; zero-fills on underrun (devices.rs:436-440)."""
-        got = self.out_rings[node_id].read(n)
-        if got.size < n:
-            got = np.concatenate([got, np.zeros(n - got.size, np.float32)])
-        return got
+        """Playback-side read with the reference's callback semantics
+        (devices.rs:400-500):
+
+        * underrun (fewer than n buffered) -> a full block of silence, the
+          ring untouched (try_grant fails, devices.rs:436-440,495-499);
+        * otherwise the catch-up counter saturating-decrements once per
+          read, and if its PREVIOUS value was > 0 while the backlog is
+          >= 2 blocks, the backlog is skipped: the newest n samples play
+          and everything older is dropped (devices.rs:408-427,459-483) --
+          the graduated latency-recovery protocol behind "Sync output".
+        """
+        ring = self.out_rings[node_id]
+        if ring.readable < n:
+            return np.zeros(n, np.float32)
+        c = self._catchup[node_id]
+        self._catchup[node_id] = c - 1 if c > 0 else 0  # saturating_sub(1)
+        backlog = ring.readable - n
+        if c > 0 and backlog >= 2 * n:
+            ring.read(backlog)          # skip ahead; ring drains fully
+        return ring.read(n)
 
     def resync(self) -> None:
-        """Drop all buffered audio (the Sync-output action,
-        runtime.rs:513-529 + 587-594); DSP state is kept, matching the
-        reference (resync drains pipes, not node state)."""
-        for r in (*self.in_rings.values(), *self.out_rings.values()):
+        """The Sync-output action (runtime.rs:513-529): inter-node pipes
+        drain (our in_rings -- the compiled graph itself holds no buffered
+        audio, links are SSA) and every output device's catch-up counter
+        gains 5 (TriggerResync, devices.rs:150-156; AtomicU8, so the add
+        wraps at 256).  Output rings are NOT drained -- the playback reader
+        skips their backlog gradually (see drain_output).  DSP state is
+        kept, matching the reference (resync touches pipes, not node
+        state)."""
+        for r in self.in_rings.values():
             r.drain()
+        for nid in self._catchup:
+            self._catchup[nid] = (self._catchup[nid] + 5) & 0xFF
 
     def reset(self) -> None:
         """Fresh DSP state (the restart_node analog, runtime.rs:153)."""

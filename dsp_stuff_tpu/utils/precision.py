@@ -80,3 +80,61 @@ def policy(p: str | PrecisionPolicy):
         yield get_policy()
     finally:
         set_policy(prev)
+
+
+# -- bit-exactness primitives (the 'exact' policy's defense against XLA's
+#    value-changing rewrites; rustc contracts nothing by default, so the
+#    reference is always separate mul/add/div roundings) ---------------------
+
+def mul_unfused(a, b):
+    """f32 multiply that cannot be FMA-contracted with a following add/sub.
+
+    XLA's backends contract ``a*b + c`` into a single-rounding fma at the
+    LLVM level (lax.optimization_barrier does not prevent it), while the
+    Rust reference compiles to separate mul and add roundings.  A plain
+    f64-mul-then-convert is also insufficient: XLA's algebraic simplifier
+    legally rewrites convert_f32(mul_f64(convert(a), convert(b))) back to
+    mul_f32, re-exposing the contraction.  ``lax.reduce_precision`` is a
+    semantic op the simplifier never removes: compute the product exactly
+    in f64, round it onto the f32 grid (innocuous double rounding -- f64's
+    53 bits >= 2*24+2, Figueroa), and convert.  Bit-identical to an
+    unfused f32 multiply.  Operands are rounded to f32 FIRST (a Python
+    float carries f64 precision the reference's f32 math never sees)."""
+    import jax.numpy as jnp
+    a64 = jnp.asarray(a, jnp.float32).astype(jnp.float64)
+    b64 = jnp.asarray(b, jnp.float32).astype(jnp.float64)
+    p = jax.lax.reduce_precision(a64 * b64, exponent_bits=8, mantissa_bits=23)
+    return p.astype(jnp.float32)
+
+
+def div_ieee(a, b):
+    """f32 division immune to XLA's value-changing divide rewrites.
+
+    Two simplifier rules break bitwise parity with the reference's plain
+    f32 divides: ``x / const -> x * (1/const)`` (recip-mul, ~1 ulp) and
+    ``(x/b)/c -> x/(b*c)`` (divide-chain fusion -- one rounding fewer, and
+    fan-in scalings after every node make divide chains ubiquitous).
+    Hiding the divisor behind ``optimization_barrier`` defeats the first
+    (non-constant divisor -> LLVM emits a true divide); fencing the result
+    with ``reduce_precision`` (f32 identity) defeats the second by hiding
+    the inner divide from the outer one's pattern match."""
+    import jax.numpy as jnp
+    q = jnp.asarray(a, jnp.float32) / jax.lax.optimization_barrier(
+        jnp.asarray(b, jnp.float32))
+    return jax.lax.reduce_precision(q, exponent_bits=8, mantissa_bits=23)
+
+
+def exact_mul(a, b):
+    """a*b, order-protected (mul_unfused) under the 'exact' policy."""
+    if get_policy().sequential_recurrences:
+        return mul_unfused(a, b)
+    import jax.numpy as jnp
+    return jnp.asarray(a, jnp.float32) * jnp.asarray(b, jnp.float32)
+
+
+def exact_div(a, b):
+    """a/b, rewrite-protected (div_ieee) under the 'exact' policy."""
+    if get_policy().sequential_recurrences:
+        return div_ieee(a, b)
+    import jax.numpy as jnp
+    return jnp.asarray(a, jnp.float32) / jnp.asarray(b, jnp.float32)

@@ -45,11 +45,17 @@ def hard_clip(x, level):
 
 
 def soft_clip(x, level):
+    """distort.rs:71-86.  ``powi(3)`` is LLVM repeated multiplication
+    ((s*s)*s), NOT libm powf (numpy's ``**`` -- up to 1 ulp apart); and the
+    branch chain sends NaN to the trailing -2/3 arm (NaN fails both the
+    ``> 1.0`` test and the ``(-1.0..=1.0).contains`` test)."""
     x, level = x.astype(F32), np.broadcast_to(level, x.shape).astype(F32)
     s = (x * level).astype(F32)
-    inner = (s - (s ** 3) / F32(3.0)).astype(F32)
+    s3 = ((s * s).astype(F32) * s).astype(F32)
+    inner = (s - (s3 / F32(3.0)).astype(F32)).astype(F32)
+    in_range = (s >= F32(-1.0)) & (s <= F32(1.0))
     shaped = np.where(s > F32(1.0), F32(2.0 / 3.0),
-                      np.where(s < F32(-1.0), F32(-2.0 / 3.0), inner))
+                      np.where(in_range, inner, F32(-2.0 / 3.0)))
     return _bypass(level, (clip(shaped.astype(F32)) / level).astype(F32), x)
 
 

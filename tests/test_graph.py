@@ -108,6 +108,75 @@ def test_chain_exact_bitwise_end_to_end():
     np.testing.assert_array_equal(np.asarray(outs[0]), want)
 
 
+@pytest.mark.parametrize("mode,ofn,level", [
+    ("HardClip", "hard_clip", 2.3),
+    ("SoftClip", "soft_clip", 2.3),
+    ("SoftClip", "soft_clip", 0.9),       # all-inner-branch regime
+    ("Square", "square_shape", 2.3),
+    ("Chebyshev4", "chebyshev4", 2.3),
+    ("RecipSoftClip", "recip_soft_clip", 2.3),
+])
+def test_distort_polynomial_modes_exact_bitwise(mode, ofn, level):
+    """The non-transcendental shapers through a full graph must be
+    bit-exact under 'exact' (FMA-contraction + divide-rewrite guards in
+    ops/shaping.py / utils/precision.py)."""
+    from dsp_stuff_tpu.utils import precision
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    dt = g.add("distort", mode=mode, level=level)
+    out = g.add("output")
+    g.chain(inp, dt, out)
+    with precision.policy("exact"):
+        outs, _, _ = dst.render(g, x[None])
+    xin = oracle.fanin_average([x])
+    want = oracle.fanin_average(
+        [getattr(oracle, ofn)(xin, np.float32(level))])
+    np.testing.assert_array_equal(np.asarray(outs[0]), want)
+
+
+def test_mix_exact_bitwise():
+    """mix's b*r + a*(1-r) (three separate f32 roundings in the reference,
+    mix.rs:45) through a graph under 'exact'."""
+    from dsp_stuff_tpu.utils import precision
+    f = np.float32
+    x = RNG.standard_normal(T).astype(np.float32)
+    y = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    ia = g.add("input")
+    ib = g.add("input")
+    mx = g.add("mix", ratio=0.37)
+    out = g.add("output")
+    g.connect(ia, "out", mx, "a")
+    g.connect(ib, "out", mx, "b")
+    g.connect(mx, "out", out, "in")
+    with precision.policy("exact"):
+        outs, _, _ = dst.render(g, {str(ia.id): x, str(ib.id): y})
+    a_in = oracle.fanin_average([x])
+    b_in = oracle.fanin_average([y])
+    r = f(0.37)
+    mixed = (b_in * r + a_in * f(f(1.0) - r)).astype(f)
+    want = oracle.fanin_average([mixed])
+    np.testing.assert_array_equal(np.asarray(outs[0]), want)
+
+
+def test_reverb_exact_bitwise_via_graph():
+    """Feedback comb through a graph: t = delayed*decay; y = x + t, two
+    roundings per sample (reverb.rs:87-92), unfused under 'exact'."""
+    from dsp_stuff_tpu.utils import precision
+    x = RNG.standard_normal(T).astype(np.float32)
+    g = dst.Graph()
+    inp = g.add("input")
+    rv = g.add("reverb", seconds=0.003, decay=0.6)
+    out = g.add("output")
+    g.chain(inp, rv, out)
+    with precision.policy("exact"):
+        outs, _, _ = dst.render(g, x[None])
+    xin = oracle.fanin_average([x])
+    want = oracle.fanin_average([oracle.reverb(xin, 0.003, 0.6)[0]])
+    np.testing.assert_array_equal(np.asarray(outs[0]), want)
+
+
 def test_unconnected_input_silence():
     """add with only port 'a' connected: b reads silence (SURVEY 2.4 #2)."""
     x = RNG.standard_normal(T).astype(np.float32)

@@ -104,6 +104,40 @@ def test_low_pass_exact_bitwise():
     np.testing.assert_array_equal(got, want)
 
 
+def test_high_pass_exact_bitwise():
+    """z = x*(1-r) + r*z; y = x - z (high_pass.rs:36-41)."""
+    x = sig()
+    want, _ = oracle.high_pass(x, 0.3)
+    with precision.policy("exact"):
+        r = np.float32(0.3)
+        z = np.asarray(scan.first_order_affine(
+            r, x * np.float32(1.0 - r), 0.0))
+        got = x - z
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fir_exact_bitwise():
+    """f64-accumulated dot against reversed taps (fir.rs:204-216): the
+    accumulation dtype matches the reference's, so exact is bitwise."""
+    x = sig(512)
+    taps_rev = RNG.standard_normal(37)
+    want, _ = oracle.fir(x, taps_rev, "Balanced")
+    with precision.policy("exact"):
+        got, _ = fir_ops.fir_apply(x, taps_rev, None)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("mode", ["Triangle", "Constant"])
+def test_signal_gen_nontranscendental_exact_bitwise(mode):
+    """Triangle/Constant have no transcendental ops (signal_gen.rs:73-108),
+    so exact reproduces the reference's bits (Sine/Square's sin is 1-ulp
+    class)."""
+    want, _ = oracle.signal_gen(mode, 0.5, 440.0, 1024)
+    with precision.policy("exact"):
+        got, _ = gen_ops.oscillator(mode, 0.5, 440.0, 1024)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 @pytest.mark.parametrize("coeffs", [
     (1.0, -0.24, 0.0, 0.758, 0.0, 0.0),     # reference default
     (2.0, -1.2, 0.5, 0.4, 0.2, 0.1),         # a0 != 1 division path

@@ -125,6 +125,96 @@ def test_make_ring_fallback_semantics():
         assert ring.readable == 0
 
 
+def _passthrough_session():
+    """input -> output so the output ring carries the input verbatim
+    (modulo the two fan-in 1/1.0001 scalings), making skip behavior easy
+    to assert sample-by-sample."""
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    out = g.add("output")
+    g.chain(inp, out)
+    return StreamSession(g, block_size=128), inp.id, None
+
+
+def test_catchup_skips_backlog_after_resync():
+    """devices.rs:459-483: with the counter armed and >= 2 blocks of
+    backlog, the playback read drops the backlog and plays the newest
+    block; the ring is fully drained afterwards."""
+    sess, inp_id, _ = _passthrough_session()
+    out_id = sess.cg.output_ids[0]
+    x = np.arange(1, 128 * 4 + 1, dtype=np.float32)   # 4 distinguishable blocks
+    sess.feed(inp_id, x)
+    for _ in range(4):
+        assert sess.pump()
+    assert sess.out_rings[out_id].readable == 512
+    sess.resync()                                      # counter := 5
+    got = sess.drain_output(out_id, 128)
+    # newest block = samples 385..512 (scaled by the output-port fan-in)
+    want = (x[384:] / np.float32(1.0001)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert sess.out_rings[out_id].readable == 0        # backlog dropped
+    assert sess._catchup[out_id] == 4                  # decremented once
+
+
+def test_catchup_counter_decrements_and_expires():
+    """The counter saturating-decrements on every successful read; after 5
+    reads without enough backlog it expires and later backlog is NOT
+    skipped (devices.rs:410-418)."""
+    sess, inp_id, _ = _passthrough_session()
+    out_id = sess.cg.output_ids[0]
+    sess.resync()
+    assert sess._catchup[out_id] == 5
+    # 5 reads with exactly one block buffered (no backlog): counter drains
+    for i in range(5):
+        sess.feed(inp_id, np.ones(128, np.float32))
+        assert sess.pump()
+        got = sess.drain_output(out_id, 128)
+        assert got.size == 128 and got[0] != 0.0
+        assert sess._catchup[out_id] == 4 - i
+    # now build a big backlog: with the counter at 0 nothing is skipped
+    sess.feed(inp_id, np.ones(512, np.float32))
+    for _ in range(4):
+        assert sess.pump()
+    got = sess.drain_output(out_id, 128)
+    assert sess.out_rings[out_id].readable == 384      # backlog kept
+    # underrun reads never decrement the counter (fetch_update sits inside
+    # the try_grant-success branch)
+    sess.resync()
+    before = sess._catchup[out_id]
+    sess.out_rings[out_id].drain()
+    silence = sess.drain_output(out_id, 128)
+    assert np.all(silence == 0.0)
+    assert sess._catchup[out_id] == before
+
+
+def test_underrun_returns_silence_without_consuming():
+    """try_grant(n) failing leaves the ring untouched: a partial buffer is
+    NOT consumed, the callback emits a full block of zeros
+    (devices.rs:436-440,495-499)."""
+    sess, inp_id, _ = _passthrough_session()
+    out_id = sess.cg.output_ids[0]
+    sess.feed(inp_id, np.ones(128, np.float32))
+    assert sess.pump()
+    got = sess.drain_output(out_id, 256)               # only 128 buffered
+    assert np.all(got == 0.0)
+    assert sess.out_rings[out_id].readable == 128      # kept for next tick
+    got = sess.drain_output(out_id, 128)
+    assert got[0] != 0.0
+
+
+def test_pyring_wraparound():
+    """Array circular buffer: reads/writes crossing the wrap point."""
+    from dsp_stuff_tpu.runtime.stream import _PyRing
+    ring = _PyRing(8)
+    assert ring.write(np.arange(6, dtype=np.float32)) == 6
+    np.testing.assert_array_equal(ring.read(4), np.arange(4, dtype=np.float32))
+    # head=4, size=2; write 5 -> wraps
+    assert ring.write(np.arange(10, 15, dtype=np.float32)) == 5
+    np.testing.assert_array_equal(
+        ring.read(7), np.array([4, 5, 10, 11, 12, 13, 14], np.float32))
+    assert ring.readable == 0
+
+
 def test_stream_matches_offline_with_chorus():
     """Streaming chains the chorus sample clock (scalar lockstep state)
     identically to a one-shot render."""
