@@ -67,13 +67,30 @@ class Spectrogram:
 
     @staticmethod
     def frequencies(params):
-        """Static bin-frequency metadata for a param set (host-side)."""
+        """Frequency of each display-grid column for a param set (the
+        exponential-position grid the interpolated columns live on;
+        host-side, static)."""
         import numpy as np
+        from dsp_stuff_tpu.ops.fftspec import (_kept_bins,
+                                               exponential_positions)
         fft_size = int(params["fft_size"])
-        freqs = np.fft.rfftfreq(fft_size, 1.0 / 48_000)
-        mask = (freqs >= float(params["lower_bound"])) & \
-               (freqs <= float(params["upper_bound"]))
-        return np.asarray(freqs[mask], np.float32)
+        freqs, keep = _kept_bins(fft_size, float(params["lower_bound"]),
+                                 float(params["upper_bound"]), 48_000)
+        pos = exponential_positions(keep.size)
+        grid = np.linspace(0.0, 1.0, keep.size)
+        return np.asarray(np.interp(grid, pos, freqs[keep]), np.float32)
+
+    @staticmethod
+    def window(columns, params, end_frame: int):
+        """The deque's contents as the UI would see them mid-render: the
+        reference pushes one column per tick and pops past buffer_size
+        (spectrogram.rs:255-262), so after tick ``end_frame`` the buffer
+        holds columns [max(0, end-n) : end].  Host-side view over a full
+        render's columns (analyze returns the tail; this gives any time
+        point)."""
+        n = int(params["buffer_size"])
+        end = max(0, min(int(end_frame), columns.shape[-2]))
+        return columns[..., max(0, end - n) if n > 0 else end:end, :]
 
 
 @register_node(

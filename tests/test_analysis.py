@@ -34,6 +34,67 @@ def test_spectrogram_bounds():
     assert float(np.max(np.asarray(cols))) < 1e-2
 
 
+def test_spectrogram_exponential_positions():
+    """PositionNormalisation::Exponential pins: endpoints at 0/1, strictly
+    monotone, and the lower half of the frequency range occupies MORE than
+    half of the display grid (the mode's defining property,
+    spectrogram.rs:244)."""
+    from dsp_stuff_tpu.ops.fftspec import exponential_positions, _kept_bins
+    pos = exponential_positions(256)
+    assert pos[0] == 0.0 and pos[-1] == 1.0
+    assert np.all(np.diff(pos) > 0)
+    freqs, keep = _kept_bins(1024, 20.0, 20_000.0, SR)
+    mid_f = (freqs[keep][0] + freqs[keep][-1]) / 2
+    n_low = (freqs[keep] <= mid_f).sum()
+    grid_share = pos[n_low - 1]            # display share of the low half
+    assert grid_share > 0.65, grid_share   # sqrt(0.5) ~ 0.707
+
+
+def test_spectrogram_tone_lands_at_exponential_position():
+    """A pure tone's interpolated column must peak at the grid index whose
+    frequency is the tone's -- i.e. at the exponential position of its bin,
+    not the linear one (pins bin placement, VERDICT r1 missing #4)."""
+    from dsp_stuff_tpu.ops.fftspec import exponential_positions, _kept_bins
+    f0 = 1000.0
+    x = tone(f0, 4096)
+    freqs_grid, cols = spectrogram(x, fft_size=1024)
+    cols = np.asarray(cols)
+    K = cols.shape[-1]
+    # expected: position of the tone's bin among kept bins, scaled to K
+    freqs, keep = _kept_bins(1024, 20.0, 20_000.0, SR)
+    bin_i = int(np.argmin(np.abs(freqs[keep] - f0)))
+    want_k = exponential_positions(keep.size)[bin_i] * (K - 1)
+    got_k = int(np.argmax(cols[0]))
+    assert abs(got_k - want_k) <= 2, (got_k, want_k)
+    # and the linear position would be far away (the tone sits low)
+    lin_k = bin_i / (keep.size - 1) * (K - 1)
+    assert abs(got_k - lin_k) > 10, (got_k, lin_k)
+
+
+def test_spectrogram_cubic_matrix_partition_of_unity():
+    """Catmull-Rom weights sum to 1 on every output row (a constant
+    spectrum interpolates to itself)."""
+    from dsp_stuff_tpu.ops.fftspec import _catmull_rom_matrix
+    W = _catmull_rom_matrix(333, 333)
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-5)
+    W2 = _catmull_rom_matrix(100, 250)     # resolution upsampling
+    np.testing.assert_allclose(W2.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_spectrogram_window_deque_semantics():
+    """Spectrogram.window reproduces the bounded deque at any tick
+    (spectrogram.rs:255-262): after tick e the UI sees columns
+    [max(0, e-n):e]."""
+    from dsp_stuff_tpu.nodes.analysis import Spectrogram
+    cols = np.arange(20, dtype=np.float32)[:, None] * np.ones(5, np.float32)
+    params = {"buffer_size": 8}
+    w = Spectrogram.window(cols, params, 12)
+    np.testing.assert_array_equal(w[:, 0], np.arange(4, 12, dtype=np.float32))
+    w = Spectrogram.window(cols, params, 3)      # buffer not yet full
+    np.testing.assert_array_equal(w[:, 0], np.arange(3, dtype=np.float32))
+    assert Spectrogram.window(cols, {"buffer_size": 0}, 12).shape[0] == 0
+
+
 @pytest.mark.parametrize("freq", [110.0, 440.0, 1000.0])
 def test_pitch_detection(freq):
     x = tone(freq, 8192, amp=0.8)
