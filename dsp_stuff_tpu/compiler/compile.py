@@ -295,6 +295,14 @@ def _active_nodes(graph: Graph) -> set[int]:
 
 def compile_graph(graph: Graph, block_size: int = 128,
                   cycle_unroll: int = 8) -> CompiledGraph:
+    if block_size % 128:
+        # the reference frame (node.rs:257) is semantically visible: Fuzz
+        # block-max and the signal_gen clock wrap are pinned to the 128
+        # grid (SURVEY 2.4 #4/#5), so block_size must tile it; feedback
+        # latency legitimately changes with block_size (documented)
+        raise ValueError(
+            f"block_size must be a multiple of 128 (the reference frame, "
+            f"node.rs:257); got {block_size}")
     active = _active_nodes(graph)
     nodes = {nid: n for nid, n in graph.nodes.items() if nid in active}
 
@@ -332,7 +340,13 @@ def compile_graph(graph: Graph, block_size: int = 128,
 
     def fn(state, ext, params=None):
         T = None
-        for v in ext.values():
+        for k, v in ext.items():
+            if T is not None and v.shape[-1] != T:
+                bad = {kk: vv.shape[-1] for kk, vv in ext.items()}
+                raise ValueError(
+                    f"external inputs disagree on render length: input "
+                    f"node {k!r} has T={v.shape[-1]}, others {bad}; all "
+                    f"inputs must share the same trailing length")
             T = v.shape[-1]
         if T is None:
             raise ValueError(

@@ -39,7 +39,11 @@ class SignalGen:
                 if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
                     T = v.shape[-1]
                     break
+        # the per-block clock wrap + intra-block square comparison are
+        # defined on the reference's 128 frame (signal_gen.rs:57-103)
+        # regardless of the compile block size (which must tile 128 --
+        # enforced by compile_graph)
         y, clock = oscillator(params["mode"], params["amplitude"],
                               params["frequency"], T, state["clock"],
-                              block_size=block_size)
+                              block_size=128)
         return {"out": y}, {"clock": clock}

@@ -30,9 +30,10 @@ class Distort:
     def process_seq(params, state, inputs, *, T=None, block_size=128):
         R = int(params.get("oversample", "1"))
         if params["mode"] == "Fuzz":
-            # block-max normalization is defined at the base rate; the
-            # reference quirk is kept un-oversampled
-            y = shaping.fuzz(inputs["in"], params["level"], block_size)
+            # block-max normalization is defined at the base rate on the
+            # reference's fixed 128 frame (distort.rs:148-151) regardless
+            # of the compile block size; the quirk is kept un-oversampled
+            y = shaping.fuzz(inputs["in"], params["level"], 128)
         elif R > 1:
             y = oversampled(shaping.DISTORT_MODES[params["mode"]],
                             inputs["in"], R, params["level"])

@@ -48,10 +48,17 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
     # [T] for a scalar clock (the shared/lockstep case), [..., T] otherwise
     t_abs = (t0a + jnp.arange(T) if t0a.ndim == 0
              else t0a[..., None] + jnp.arange(T))
+    # LFO phase in f64 fractional cycles, reduced mod 1 BEFORE the f32 sin:
+    # a raw f32 sample clock quantizes past 2^24 samples (~6 min at 48 kHz)
+    # and an unreduced argument loses precision as it grows -- the reduced
+    # phase stays in [0, 1) with full precision for arbitrarily long
+    # streams (t_abs is exact in f64 up to 2^53)
+    cycles = (jnp.asarray(rate_hz, jnp.float64)
+              * t_abs.astype(jnp.float64) / sample_rate)
+    phase = (cycles - jnp.floor(cycles)).astype(f32)
     d = (jnp.asarray(base_s, f32) * sample_rate
          + jnp.asarray(depth_s, f32) * sample_rate
-         * jnp.sin(f32(TAU) * jnp.asarray(rate_hz, f32)
-                   * t_abs.astype(f32) / f32(sample_rate)))
+         * jnp.sin(f32(TAU) * phase))
     # pos in f64: offline and streaming evaluate the same tap at offsets
     # differing by an exact integer (the segment start), so a double
     # subtraction keeps i/frac bit-identical across segmentations —

@@ -11,6 +11,7 @@
 // Pure C ABI; loaded from Python via ctypes (dsp_stuff_tpu/io/native.py).
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -112,12 +113,19 @@ int dsp_wav_read(const char* path, float** out_data, int32_t* n_ch,
             }
         } else if (!std::memcmp(cid, "data", 4)) {
             data = r.p + r.off;
-            data_len = sz;
+            // a declared size past EOF must not leak reads beyond the file
+            // buffer: clamp to the bytes actually present
+            data_len = (uint32_t)std::min<size_t>(sz, r.n - r.off);
         }
         r.off = start + sz + (sz & 1);
         if (r.off > r.n) break;
     }
-    if (!tag || !ch || !data) { std::free(buf); return -3; }
+    // reject absent/garbage fmt before the frames division: bits must be a
+    // positive multiple of 8 (bits==0 would divide by zero below)
+    if (!tag || !ch || !data || bits == 0 || (bits % 8) != 0) {
+        std::free(buf);
+        return -3;
+    }
 
     size_t bytes_per = bits / 8;
     int64_t frames = (int64_t)(data_len / (bytes_per * ch));

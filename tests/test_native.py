@@ -36,6 +36,36 @@ def test_wav_pcm_formats_cross(tmp_path, bits, fmt):
     np.testing.assert_allclose(got_n, got_p, atol=1e-7)
 
 
+def test_wav_truncated_data_chunk_clamped(tmp_path):
+    """A data chunk whose declared size extends past EOF must decode only
+    the bytes present (no OOB read), matching well-formed prefix frames."""
+    rng = np.random.default_rng(2)
+    data = (rng.standard_normal((1, 1000)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    native.wav_write(p, data, 48_000, float_format=True)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[: len(raw) - 400])     # chop 100 samples
+    got, rate = native.wav_read(p)
+    assert rate == 48_000
+    np.testing.assert_array_equal(got[0], data[0, :900])
+
+
+def test_wav_zero_bits_rejected(tmp_path):
+    """fmt with bits_per_sample == 0 (or non-multiple-of-8) must raise,
+    not divide by zero."""
+    rng = np.random.default_rng(3)
+    data = (rng.standard_normal((1, 64)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    native.wav_write(p, data, 48_000, float_format=True)
+    raw = bytearray(open(p, "rb").read())
+    i = raw.find(b"fmt ")
+    assert i > 0
+    raw[i + 8 + 14 : i + 8 + 16] = b"\x00\x00"     # bits field -> 0
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        native.wav_read(p)
+
+
 @pytest.mark.parametrize("ratio", [0.5, 44100 / 48000, 1.0, 2.0])
 def test_resample_native_matches_numpy(ratio):
     rng = np.random.default_rng(2)

@@ -215,6 +215,51 @@ def test_pyring_wraparound():
     assert ring.readable == 0
 
 
+def test_compile_rejects_non_128_block():
+    """Fuzz block-max and the signal_gen clock wrap are pinned to the
+    reference's 128 frame, so compile_graph must reject block sizes that
+    don't tile it (ADVICE r1)."""
+    g, _ = _chain()
+    with pytest.raises(ValueError, match="multiple of 128"):
+        dst.compile_graph(g, block_size=100)
+
+
+def test_mismatched_input_lengths_raise():
+    """Two external inputs with different T must fail with a clear error
+    naming the offender, not an opaque reshape inside the render."""
+    g = dst.Graph(IdSpace())
+    i1 = g.add("input")
+    i2 = g.add("input")
+    add = g.add("add")
+    out = g.add("output")
+    g.connect(i1, "out", add, "a")
+    g.connect(i2, "out", add, "b")
+    g.connect(add, "out", out, "in")
+    cg = dst.compile_graph(g)
+    with pytest.raises(ValueError, match="disagree on render length"):
+        cg.fn(cg.init_state(), {str(i1.id): np.zeros(256, np.float32),
+                                str(i2.id): np.zeros(512, np.float32)})
+
+
+def test_chorus_lfo_phase_bounded_for_long_streams():
+    """The LFO phase is reduced mod 1 in f64 before the f32 sin, so a
+    sample clock past 2^24 (where f32 quantizes) behaves exactly like the
+    equivalent early-phase clock (ADVICE r1: long-session tap jitter)."""
+    from dsp_stuff_tpu.ops.modfx import modulated_delay
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(512) * 0.3).astype(np.float32)
+    L = 200
+    hist = (rng.standard_normal(L) * 0.1).astype(np.float32)
+    # rate=1.5 Hz at 48 kHz -> period 32000 samples; t0 = 32000 * 2400
+    # (= 76.8M >> 2^24) is an integer number of LFO cycles, i.e. the same
+    # phase as t0 = 0
+    kw = dict(rate_hz=np.float32(1.5), depth_s=np.float32(0.002),
+              base_s=np.float32(0.003), mix=np.float32(0.6))
+    y0, _, _ = modulated_delay(x, hist=hist, t0=np.int64(0), **kw)
+    y1, _, _ = modulated_delay(x, hist=hist, t0=np.int64(32000 * 2400), **kw)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
 def test_stream_matches_offline_with_chorus():
     """Streaming chains the chorus sample clock (scalar lockstep state)
     identically to a one-shot render."""
