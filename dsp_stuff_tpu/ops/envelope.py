@@ -12,11 +12,32 @@ with ``gain_from_frames(n) = exp(-1/n)`` and ``0.0`` when n == 0.
 
 The branch on ``env < d`` makes the recurrence non-associative (the
 coefficient depends on the running state), so unlike the linear filters it
-cannot lower to an associative scan; it runs as a `lax.scan` over samples,
-vectorized across the batch/stream axes.
+cannot lower to an associative scan.  It IS, however, a contraction in the
+carry: for any two envelopes e1, e2 and the same input sample,
+|f(e1) - f(e2)| <= max(atk, rel) * |e1 - e2| (both branch slopes are the
+gains, which are < 1, and the cross-branch case splits into two
+non-negative terms each bounded by its gain).  The ``fast`` policy exploits
+that with a two-pass chunk-parallel evaluation whose sequential step count
+is 2*chunk regardless of T (`_chunked_batched`); parity/exact keep the
+per-sample `lax.scan`.
+
+The fast path is wrapped in
+
+* ``jax.custom_batching.custom_vmap`` — a vmapped (per-stream) call
+  re-dispatches to the explicit [B, T] implementation whose scan carry is
+  laid out [P, B] (chunk-major, batch in lanes); vmap's default [B, P]
+  carry wastes 7/8 of every vector register when P << 128;
+* ``jax.custom_vjp`` — the adjoint of the recurrence is a *linear*
+  first-order reverse recurrence in the cotangent (coefficient = the
+  forward's selected gain), so the backward pass lowers to the same fast
+  associative-scan machinery as the linear filters (ops/scan.py) instead
+  of AD-through-a-480k-step-scan, and the custom_vmap forward (which has
+  no autodiff rule of its own) stays differentiable for train/fit.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,38 +51,153 @@ def gain_from_frames(frames):
     return jnp.where(frames == 0.0, 0.0, jnp.exp(-1.0 / safe))
 
 
-import functools
-
-
 def _use_pallas() -> bool:
     from dsp_stuff_tpu.ops.scan import _use_pallas as _up
     return _up()
 
 
+# Chunk length for the fast-policy chunk-parallel path.  Convergence of the
+# guessed chunk starts is g^CHUNK with g = exp(-1/frames); at the reference's
+# slider maximum (1000 frames, envelope.rs attack/release range) that is
+# exp(-32.8) ~= 6e-15 -- far below f32 rounding.  Must stay comfortably above
+# ~21 * max_expected_frames.
+_CHUNK = 32768
+
+
+def _scan_step(atk, rel):
+    def step(env, dt):
+        gain = jnp.where(env < dt, atk, rel)
+        env = dt + gain * (env - dt)
+        return env, env
+    return step
+
+
+def _seq_scan(x, atk, rel, env0, unroll=32):
+    """Per-sample lax.scan along the last axis (any leading batch dims).
+    The data-dependent branch keeps this sequential; unrolling amortizes
+    the XLA while-loop per-iteration overhead."""
+    d = jnp.abs(jnp.moveaxis(x, -1, 0))
+    final, ys = jax.lax.scan(_scan_step(atk, rel), env0, d, unroll=unroll)
+    return jnp.moveaxis(ys, 0, -1), final
+
+
+def _chunked_batched(x, atk, rel, env0, chunk):
+    """Two-pass chunk-parallel peak envelope for explicit [B, T] input.
+
+    Pass 1 scans all T/chunk chunks in parallel from guessed (zero) starts,
+    producing each chunk's final envelope; pass 2 rescans with each chunk
+    seeded by its predecessor's pass-1 final.  Because the recurrence
+    contracts the carry by max(atk, rel) < 1 per sample, every pass-2 start
+    is correct to within g^chunk of the true envelope, so the emitted
+    samples match the sequential evaluation to below f32 rounding
+    (bit-identical on every tested input).  Sequential step count: 2*chunk,
+    independent of T.
+
+    Layout: the scan carry is [P, B] — chunks on the sublane axis, streams
+    on the lane axis — so each step is a few full-width VPU ops; the
+    [B, P, chunk] <-> [chunk, P, B] transposes at the boundary are cheap
+    relative to the T-step scan they remove.
+    """
+    B, T = x.shape
+    P = -(-T // chunk)
+    xp = jnp.pad(x, ((0, 0), (0, P * chunk - T)))
+    d = jnp.abs(jnp.transpose(xp.reshape(B, P, chunk), (2, 1, 0)))
+    step = _scan_step(atk, rel)
+
+    starts = jnp.zeros((P, B), x.dtype).at[0].set(env0)
+    finals, _ = jax.lax.scan(lambda e, dt: (step(e, dt)[0], None),
+                             starts, d, unroll=8)
+    starts2 = jnp.concatenate([env0[None], finals[:-1]], axis=0)
+    _, ys = jax.lax.scan(step, starts2, d, unroll=8)      # [chunk, P, B]
+    env = jnp.transpose(ys, (2, 1, 0)).reshape(B, P * chunk)[:, :T]
+    return env, env[:, -1]
+
+
+def _fast_fwd_batched(x, atk, rel, env0):
+    """Forward for explicit [B, T] input: chunked when long enough, the
+    Pallas kernel when opted in, the plain scan otherwise."""
+    B, T = x.shape
+    if T > 2 * _CHUNK:
+        return _chunked_batched(x, atk, rel, env0, _CHUNK)
+    if _use_pallas():
+        from dsp_stuff_tpu.ops.pallas_envelope import peak_envelope_pallas
+        return peak_envelope_pallas(x, atk, rel, env0)
+    return _seq_scan(x, atk, rel, env0)
+
+
 @jax.custom_batching.custom_vmap
-def _env_pallas_cv(x, env0, atk, rel):
-    """Dispatch point so vmapped (per-stream) callers reach the Pallas
-    kernel with the WHOLE batch riding the lane axis (the kernel is
-    batch-vectorized by construction, ops/pallas_envelope.py)."""
-    from dsp_stuff_tpu.ops.pallas_envelope import peak_envelope_pallas
-    return peak_envelope_pallas(x, atk, rel, env0)
+def _env_fast(x, atk, rel, env0):
+    """Fast-policy envelope core on unbatched [T] input.  A vmapped call
+    re-dispatches to the explicit [B, T] implementation (lane-friendly
+    carry layout); gains must be unbatched scalars (they always are: the
+    Envelope node has no as_input params and sliders are per-graph)."""
+    env, fin = _fast_fwd_batched(x[None], atk, rel, env0[None])
+    return env[0], fin[0]
 
 
-@_env_pallas_cv.def_vmap
-def _env_pallas_cv_vmap(axis_size, in_batched, x, env0, atk, rel):
-    from dsp_stuff_tpu.ops.pallas_envelope import peak_envelope_pallas
-    x_b, env0_b, atk_b, rel_b = in_batched
-    if atk_b or rel_b or not x_b or x.ndim != 2:
-        # per-stream gains, nested batching, or a closed-over unbatched
-        # signal: no efficient lane mapping — tell the caller to use the
-        # scan path rather than silently mis-shaping the kernel input
+@_env_fast.def_vmap
+def _env_fast_vmap(axis_size, in_batched, x, atk, rel, env0):
+    x_b, atk_b, rel_b, env0_b = in_batched
+    if atk_b or rel_b or x.ndim != 2:
         raise NotImplementedError(
-            "pallas envelope: per-stream attack/release, unbatched signal "
-            "or nested batching not supported; unset DST_PALLAS here")
+            "peak_envelope fast path: per-stream attack/release or nested "
+            "batching is not supported (gains are per-graph sliders)")
     S = axis_size
+    if not x_b:
+        x = jnp.broadcast_to(x, (S, *x.shape))
     e0 = env0 if env0_b else jnp.broadcast_to(env0, (S,))
-    env, fin = peak_envelope_pallas(x, atk, rel, e0)
+    env, fin = _fast_fwd_batched(x, atk, rel, e0)
     return (env, fin), (True, True)
+
+
+def _env_core_fwd(x, atk, rel, env0):
+    env, fin = _env_fast(x, atk, rel, env0)
+    return (env, fin), (x, atk, rel, env0, env)
+
+
+def _env_core_bwd(res, cts):
+    """Analytic adjoint.  With g_t the gain the forward selected at step t,
+
+        env_t = d_t + g_t * (env_{t-1} - d_t)
+
+    gives the *linear* reverse recurrence for the cotangent
+    lam_t = ybar_t + g_{t+1} * lam_{t+1}, which lowers to the associative
+    first-order scan (ops/scan.first_order_affine) — no 480k-step reverse
+    while-loop, no O(T) residual stack beyond the forward's own output."""
+    from dsp_stuff_tpu.ops.scan import first_order_affine
+    x, atk, rel, env0, env = res
+    ybar, fbar = cts
+    f32 = jnp.float32
+    ybar = jnp.asarray(ybar, f32).at[..., -1].add(jnp.asarray(fbar, f32))
+
+    d = jnp.abs(x)
+    env_prev = jnp.concatenate(
+        [jnp.broadcast_to(env0[..., None], (*env.shape[:-1], 1)),
+         env[..., :-1]], axis=-1)
+    is_atk = env_prev < d
+    g = jnp.where(is_atk, atk, rel)
+
+    # lam via reversed first-order affine scan: u_k = a_k u_{k-1} + yr_k
+    # with u_k = lam_{T-1-k}, a_k = g_{T-k} (a_0 unused -> 0)
+    gr = jnp.flip(g, axis=-1)
+    a = jnp.concatenate([jnp.zeros_like(gr[..., :1]), gr[..., :-1]], axis=-1)
+    lam = jnp.flip(first_order_affine(a, jnp.flip(ybar, axis=-1), 0.0),
+                   axis=-1)
+
+    xbar = lam * (1.0 - g) * jnp.sign(x)
+    demd = env_prev - d                      # d env_t / d gain_t
+    atkbar = jnp.sum(lam * demd * is_atk).astype(f32)
+    relbar = jnp.sum(lam * demd * (~is_atk)).astype(f32)
+    env0bar = lam[..., 0] * g[..., 0]
+    return xbar, atkbar, relbar, env0bar
+
+
+@jax.custom_vjp
+def _env_core(x, atk, rel, env0):
+    return _env_fast(x, atk, rel, env0)
+
+
+_env_core.defvjp(_env_core_fwd, _env_core_bwd)
 
 
 @functools.partial(jax.jit)
@@ -70,23 +206,18 @@ def peak_envelope(x, attack_frames=0.0, release_frames=0.0, env0=0.0):
 
     Returns (env [..., T] f32, final_env).
     """
+    from dsp_stuff_tpu.utils import precision
     f32 = jnp.float32
     x = jnp.asarray(x, f32)
     atk = gain_from_frames(attack_frames)
     rel = gain_from_frames(release_frames)
     env0 = jnp.broadcast_to(jnp.asarray(env0, f32), x.shape[:-1])
-    if _use_pallas() and x.ndim <= 2 and atk.ndim == 0 and rel.ndim == 0:
-        return _env_pallas_cv(x, env0, atk, rel)
-
-    def step(env, xt):
-        d = jnp.abs(xt)
-        gain = jnp.where(env < d, atk, rel)
-        env = d + gain * (env - d)
-        return env, env
-
-    # the data-dependent branch makes this recurrence non-associative, so
-    # it stays a per-sample scan; unrolling amortizes the XLA while-loop
-    # per-iteration overhead (~1 us/sample otherwise — the single slowest
-    # construct in a graph containing an Envelope node)
-    final, ys = jax.lax.scan(step, env0, jnp.moveaxis(x, -1, 0), unroll=32)
-    return jnp.moveaxis(ys, 0, -1), final
+    if (precision.get_policy().name == "fast"
+            and x.ndim <= 2 and atk.ndim == 0 and rel.ndim == 0):
+        if x.ndim == 2:
+            # explicit batch: route through vmap so the custom_vmap rule
+            # picks the lane-friendly [P, B] carry layout
+            return jax.vmap(_env_core, in_axes=(0, None, None, 0))(
+                x, atk, rel, env0)
+        return _env_core(x, atk, rel, env0)
+    return _seq_scan(x, atk, rel, env0)

@@ -185,6 +185,77 @@ def test_envelope(attack, release):
     assert_dbfs(np.asarray(got), want)
 
 
+@pytest.mark.parametrize("attack,release", [(0.0, 0.0), (3.0, 8.0),
+                                            (8.0, 2.0)])
+def test_envelope_chunked_matches_sequential(attack, release):
+    """The fast-policy two-pass chunk-parallel path must reproduce the
+    sequential scan to below f32 rounding (the carry contraction argument
+    in ops/envelope.py).  Small chunk + small frame counts keep the same
+    convergence ratio the production _CHUNK gives at the slider max."""
+    import jax.numpy as jnp
+    T_ = 2000
+    x = RNG.standard_normal((3, T_)).astype(np.float32)
+    env0 = np.float32([0.0, 0.37, 2.5])
+    atk = env_ops.gain_from_frames(attack)
+    rel = env_ops.gain_from_frames(release)
+    got, fin = env_ops._chunked_batched(
+        jnp.asarray(x), atk, rel, jnp.asarray(env0), 256)
+    want, wfin = env_ops._seq_scan(jnp.asarray(x), atk, rel,
+                                   jnp.asarray(env0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(fin), np.asarray(wfin),
+                               rtol=0, atol=2e-7)
+
+
+def test_envelope_fast_grad_matches_scan_ad():
+    """The fast path's analytic custom_vjp must match autodiff through the
+    sequential scan — for the signal, the frame sliders, and env0; both
+    unbatched and vmapped with a scalar (unbatched) attack/release."""
+    import jax
+    import jax.numpy as jnp
+
+    T_ = 700
+    x = RNG.standard_normal((4, T_)).astype(np.float32) * 0.8
+    w = RNG.standard_normal((4, T_)).astype(np.float32)
+
+    def loss_fast(x, attack, release, env0):
+        with precision.policy("fast"):
+            env, fin = env_ops.peak_envelope(x, attack, release, env0)
+        return jnp.sum(env * w) + 0.3 * jnp.sum(fin)
+
+    def loss_ref(x, attack, release, env0):
+        atk = env_ops.gain_from_frames(attack)
+        rel = env_ops.gain_from_frames(release)
+        e0 = jnp.broadcast_to(jnp.asarray(env0, jnp.float32), x.shape[:-1])
+        env, fin = env_ops._seq_scan(jnp.asarray(x, jnp.float32),
+                                     atk, rel, e0)
+        return jnp.sum(env * w) + 0.3 * jnp.sum(fin)
+
+    args = (jnp.asarray(x), jnp.float32(5.0), jnp.float32(11.0),
+            jnp.float32(0.25))
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2, 3))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_fast, g_ref, ("x", "attack", "release", "env0")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_envelope_fast_policy_long_render():
+    """peak_envelope auto-selects the chunked path under the fast policy
+    for long signals; result must match the parity-policy sequential scan
+    and chain correctly through env0 across segmented renders."""
+    T_ = 2 * env_ops._CHUNK + 4096
+    x = sig(T_, scale=0.5)
+    with precision.policy("fast"):
+        got, fin = env_ops.peak_envelope(x, 50.0, 400.0)
+    with precision.policy("parity"):
+        want, wfin = env_ops.peak_envelope(x, 50.0, 400.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+    assert abs(float(fin) - float(wfin)) <= 1e-6
+
+
 @pytest.mark.parametrize("n_taps", [1, 4, 64, 300])
 @pytest.mark.parametrize("mode", ["Balanced", "Average"])
 def test_fir(n_taps, mode):
