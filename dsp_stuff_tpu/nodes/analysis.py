@@ -22,7 +22,11 @@ from dsp_stuff_tpu.ops.pitch_mpm import detect_pitch
 class WaveView:
     """Oscilloscope sink (wave_view.rs).  The reference's 4096-sample ring +
     frame-rate decimation is a UI artifact; offline analysis returns the
-    full averaged input signal."""
+    full averaged input signal.  ``sweeps`` reproduces the decimated
+    instrument exactly for any frame rate."""
+
+    RING = 4096          # wave_view.rs:145 circular_buffer::<f32>(4096)
+    SMA_WINDOW = 32      # wave_view.rs:23 SumTreeSMA<f32, f32, 32>
 
     @staticmethod
     def process_seq(params, state, inputs):
@@ -31,6 +35,57 @@ class WaveView:
     @staticmethod
     def analyze(params, inputs):
         return {"samples": inputs["in"]}
+
+    @classmethod
+    def sweeps(cls, samples, fps: float = 60.0, sample_rate: int = 48_000):
+        """Per-UI-frame oscilloscope sweeps, decimated the reference's way
+        (wave_view.rs:70-123): the audio side copies each 128-block into a
+        4096 ring, dropping whole blocks when full (wave_view.rs:159-176);
+        each UI frame feeds the ring's fill level (or 0.0 if nothing
+        arrived since the last frame) into a 32-tap simple moving average,
+        draws min(average, available) samples, and releases them — which
+        stabilizes the sweep width against frame-rate jitter.
+
+        Host-side simulation over a rendered signal (this is draw logic,
+        not DSP).  Returns a list of np.float32 sweep arrays, one per UI
+        frame."""
+        import numpy as np
+        samples = np.asarray(samples, np.float32).ravel()
+        per_frame = sample_rate / float(fps)
+        ring: list[np.ndarray] = []         # queued blocks (FIFO of samples)
+        avail = 0
+        sma: list[float] = []
+        out = []
+        produced = 0.0
+        blocks = [samples[i:i + 128] for i in range(0, len(samples), 128)]
+        bi = 0
+        while bi < len(blocks) or avail:
+            produced += per_frame
+            pushed = False
+            while bi < len(blocks) and produced >= 128.0:
+                blk = blocks[bi]
+                produced -= 128.0
+                bi += 1
+                if avail + len(blk) <= cls.RING:     # else: dropped block
+                    ring.append(blk)
+                    avail += len(blk)
+                    pushed = True
+            sma.append(float(avail) if pushed else 0.0)
+            if len(sma) > cls.SMA_WINDOW:
+                sma.pop(0)
+            avg = int(sum(sma) / len(sma)) if sma else 0
+            n = max(0, min(avg, avail))
+            if n:
+                flat = np.concatenate(ring)
+                out.append(flat[:n])
+                rest = flat[n:]
+                ring = [rest] if rest.size else []
+                avail = rest.size
+            else:
+                out.append(np.zeros(0, np.float32))
+                if bi >= len(blocks):
+                    break                   # drained and SMA decayed to 0
+        return out
 
 
 @register_node(

@@ -56,9 +56,31 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
     cycles = (jnp.asarray(rate_hz, jnp.float64)
               * t_abs.astype(jnp.float64) / sample_rate)
     phase = (cycles - jnp.floor(cycles)).astype(f32)
-    d = (jnp.asarray(base_s, f32) * sample_rate
-         + jnp.asarray(depth_s, f32) * sample_rate
-         * jnp.sin(f32(TAU) * phase))
+    # LFO sin precision is policy-dependent (read at trace time, like the
+    # recurrence lowerings): under parity/exact the f32 argument evaluates
+    # through f64 sin and rounds back (the oracle's <=1-ulp transcendental
+    # convention; a native f32 sin's ~1-ulp slack, scaled by depth*sr and
+    # the signal slope, costs ~-92 dBFS per chorus — too close to the -90
+    # graph budget).  fast keeps the cheap f32 sin.
+    from dsp_stuff_tpu.utils import precision
+    arg = f32(TAU) * phase
+    if precision.get_policy().name == "fast":
+        s = jnp.sin(arg)
+        d = (jnp.asarray(base_s, f32) * sample_rate
+             + jnp.asarray(depth_s, f32) * sample_rate * s)
+    else:
+        # XLA contracts (depth*sr*s) + base*sr into a single-rounding fma,
+        # moving the f32 trajectory by 1 ulp (~6e-5 samples at d~576) --
+        # which the interpolated tap turns into ~-88 dBFS of wet error,
+        # above the parity budget.  An f32->f32 reduce_precision fence does
+        # NOT stop it (it is an identity the simplifier sees through);
+        # precision.mul_unfused computes the product in f64 and rounds it
+        # onto the f32 grid, which is bit-identical to an unfused f32
+        # multiply and cannot be contracted.
+        from dsp_stuff_tpu.utils.precision import mul_unfused
+        s = jnp.sin(arg.astype(jnp.float64)).astype(f32)
+        sweep = mul_unfused(jnp.asarray(depth_s, f32) * sample_rate, s)
+        d = jnp.asarray(base_s, f32) * sample_rate + sweep
     # pos in f64: offline and streaming evaluate the same tap at offsets
     # differing by an exact integer (the segment start), so a double
     # subtraction keeps i/frac bit-identical across segmentations —

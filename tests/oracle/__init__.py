@@ -275,6 +275,64 @@ def signal_gen(mode, amplitude, frequency, T, clock=F32(0.0), block=BUF):
     return out, clock
 
 
+def chorus(x, rate, depth, base, mix, hist=None, t0=0, sr=48000):
+    """NumPy mirror of the chorus extension's defined semantics
+    (ops/modfx.py modulated_delay: f64 phase reduction, f32 sin LFO,
+    f64 tap position, f32 linear interpolation).  No reference analog —
+    this pins OUR extension, independently of the JAX implementation."""
+    x = x.astype(F32)
+    T = len(x)
+    L = int(np.ceil((base + depth) * sr)) + 2
+    if hist is None:
+        hist = np.zeros(L, F32)
+    xx = np.concatenate([hist.astype(F32), x])
+    t_abs = np.float64(t0) + np.arange(T, dtype=np.float64)
+    cycles = np.float64(rate) * t_abs / sr
+    phase = (cycles - np.floor(cycles)).astype(F32)
+    d = (F32(base) * F32(sr)
+         + (F32(depth) * F32(sr)
+            * _t(np.sin, (F32(2 * np.pi) * phase).astype(F32))).astype(F32)
+         ).astype(F32)
+    pos = (L + np.arange(T, dtype=np.float64)) - d.astype(np.float64)
+    pos = np.clip(pos, 0.0, L + T - 2)
+    i = np.floor(pos).astype(np.int64)
+    frac = (pos - np.floor(pos)).astype(F32)
+    wet = (xx[i] * (F32(1.0) - frac) + xx[i + 1] * frac).astype(F32)
+    y = (x * (F32(1.0) - F32(mix)) + wet * F32(mix)).astype(F32)
+    return y, xx[-L:], t0 + T
+
+
+def _conv_center(x, h, stride=1, offset=0):
+    """np.convolve in f64, center-aligned like ops/oversample._conv_same."""
+    N = len(h)
+    full = np.convolve(np.asarray(x, np.float64), np.asarray(h, np.float64))
+    pad = (N - 1) // 2
+    return full[pad + offset::stride]
+
+
+def oversampled(fn, x, R, *args):
+    """NumPy mirror of ops/oversample.oversampled (extension: the reference's
+    shapers alias).  Convolutions run in f64 against the same Hann-sinc
+    kernel; the JAX path accumulates the f32 convs in f32, so composed
+    errors sit around 1e-6 (well under the -90 dBFS bar)."""
+    from dsp_stuff_tpu.ops.oversample import _lowpass_kernel
+    h = _lowpass_kernel(R).astype(np.float64)
+    T = len(x)
+    dil = np.zeros((T - 1) * R + 1, np.float64)
+    dil[::R] = np.asarray(x, np.float64)
+    xu = _conv_center(dil, h * R)[:R * T].astype(F32)
+    up_args = []
+    for a in args:
+        if hasattr(a, "ndim") and getattr(a, "ndim", 0) > 0 and len(a) == T:
+            da = np.zeros((T - 1) * R + 1, np.float64)
+            da[::R] = np.asarray(a, np.float64)
+            up_args.append(_conv_center(da, h * R)[:R * T].astype(F32))
+        else:
+            up_args.append(a)
+    yu = fn(xu, *up_args)
+    return _conv_center(yu, h, stride=R)[:T].astype(F32)
+
+
 def max_err_dbfs(a, b):
     """20*log10(max |a-b|); -inf when identical."""
     err = np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)))

@@ -147,3 +147,31 @@ def test_pitch_harmonic_rich():
     f = np.asarray(res["frequency"])
     assert np.asarray(res["voiced"]).all()
     assert np.all(np.abs(f - f0) / f0 < 0.02), f
+
+
+def test_wave_view_sweep_decimation():
+    """The optional decimated oscilloscope view (wave_view.rs:70-123):
+    per-frame sweep widths settle to the per-frame sample production via
+    the 32-tap SMA, drawn samples are consumed in order, and a too-slow
+    frame rate drops whole 128-blocks at the 4096 ring (no backlog)."""
+    from dsp_stuff_tpu.nodes.analysis import WaveView
+    T = 48_000
+    x = np.arange(T, dtype=np.float32)          # ramp: order-checkable
+    sweeps = WaveView.sweeps(x, fps=60.0)
+    widths = [len(s) for s in sweeps]
+    # steady state: 48000/60 = 800 samples per frame
+    mid = widths[40:50]
+    assert all(700 <= w <= 900 for w in mid), mid
+    # drawn samples appear in stream order with no duplication
+    drawn = np.concatenate([s for s in sweeps if len(s)])
+    assert np.all(np.diff(drawn) > 0)
+    assert drawn.size <= T
+    # at 60 fps nothing overflows the 4096 ring: every sample is drawn
+    assert drawn.size > 0.95 * T
+
+    # 10 fps -> 4800 samples/frame production against a 4096 ring: blocks
+    # MUST drop (the reference's audio thread throws them away)
+    slow = WaveView.sweeps(x, fps=10.0)
+    sdrawn = np.concatenate([s for s in slow if len(s)])
+    assert sdrawn.size < 0.95 * T
+    assert np.all(np.diff(sdrawn) > 0)          # still ordered, just gappy

@@ -105,6 +105,126 @@ def test_config1_parity_vs_oracle():
     assert db <= -90.0, db
 
 
+def _h(v):
+    """One fan-in hop: a single-source port divides by (1 + 1e-4) in f32
+    (node.rs:166,190-192)."""
+    F32 = np.float32
+    return (np.asarray(v, F32) / F32(F32(1.0) + F32(0.0001))).astype(F32)
+
+
+def test_config3_parity_vs_oracle():
+    """Config #3 (4x-oversampled overdrive -> tanh distortion) under the
+    parity policy vs the composed oracle: reference shaper semantics
+    (overdrive.rs:31-43, distort.rs Tanh) wrapped in the f64 NumPy mirror
+    of our polyphase rate converters (extension; ops/oversample.py)."""
+    import oracle
+    g, meta = PRESETS["config3"]()
+    T = 2048
+    x = _input(T)
+    with precision.policy("parity"):
+        outs, _, _ = dst.render(g, {str(meta["input"]): x})
+    v = _h(x)
+    v = oracle.oversampled(
+        lambda u: oracle.overdrive(u, 8.0, 0.8, 0.9), v, 4)
+    v = oracle.oversampled(
+        lambda u: oracle.tanh_clip(u, 6.0), _h(v), 4)
+    want = _h(v)
+    db = oracle.max_err_dbfs(np.asarray(outs)[0], want)
+    assert db <= -90.0, db
+
+
+def test_config4_parity_vs_oracle():
+    """Config #4 (stereo convolution reverb = two FIR nodes) under parity
+    vs the per-sample f64-accumulate FIR oracle (fir.rs:179-225)."""
+    import oracle
+    g, meta = PRESETS["config4"](ir_seconds=0.02)
+    T = 1024
+    x = _input(T)
+    with precision.policy("parity"):
+        outs, _, _ = dst.render(g, {str(meta["input"]): x})
+    for k, fid in enumerate(meta["firs"]):
+        taps_rev = np.asarray(g.nodes[fid].params["taps"], np.float64)
+        v, _ = oracle.fir(_h(x), taps_rev, mode="Balanced")
+        want = _h(v)
+        db = oracle.max_err_dbfs(np.asarray(outs)[k], want)
+        assert db <= -90.0, (k, db)
+
+
+def _oracle_config5(x):
+    """Composed sequential oracle of the whole 16-node feedback graph,
+    replicating the compiler's defined cycle semantics: SCC members (mixa,
+    rv, lp, fbg — ascending id) run per 128-block; the one edge from a
+    not-yet-run member (fbg -> mixa.b) carries the previous block
+    (compiler/compile.py _eval_cycle).  Node math comes from the per-node
+    oracles (reference file:line cites there); chorus is the extension
+    oracle (ops/modfx.py semantics)."""
+    import oracle
+    F32 = np.float32
+    T = len(x)
+    B = 128
+
+    pre = (_h(x) * F32(1.2)).astype(F32)
+    lfo, _ = oracle.signal_gen("Sine", 0.6, 0.5, T)
+    drive = oracle.mod_map(oracle.fanin_average([lfo]), 0.0, 1.0)
+    od = oracle.overdrive(_h(pre), 6.0, drive, 0.8)
+    dist = oracle.soft_clip(_h(od), 4.0)
+
+    # feedback SCC, per 128-block
+    ring = np.zeros(int(F32(0.15) * F32(48000.0)), F32)   # reverb.rs:57
+    z_lp = F32(0.0)
+    prev_fbg = np.zeros(B, F32)
+    rv_seq = np.empty(T, F32)
+    for b in range(0, T, B):
+        mixa = (_h(dist[b:b + B]) + _h(prev_fbg)).astype(F32)
+        rv, ring = oracle.reverb(_h(mixa), 0.15, 0.5, ring)
+        lp, z_lp = oracle.low_pass(_h(rv), 0.4, z_lp)
+        prev_fbg = (_h(lp) * F32(0.45)).astype(F32)
+        rv_seq[b:b + B] = rv
+
+    hp, _ = oracle.high_pass(_h(rv_seq), 0.05)
+    ch, _, _ = oracle.chorus(_h(hp), 1.2, 0.003, 0.008, 0.4)
+    a, bb, r = _h(pre), _h(ch), F32(0.6)
+    mx = ((bb * r).astype(F32)
+          + (a * F32(F32(1.0) - r)).astype(F32)).astype(F32)
+    env, _ = oracle.envelope(_h(mx), 50.0, 400.0)
+    bq, _ = oracle.biquad_df1(_h(env), 1.0, -0.2, 0.0, 0.8, 0.0, 0.0)
+    return _h(bq)
+
+
+def test_config5_parity_vs_oracle():
+    """Graph-level end-to-end parity for the 16-node feedback benchmark
+    graph (VERDICT r1 #7): parity-policy render vs the composed sequential
+    oracle, including the feedback block latency, the LFO->drive modulation
+    mapping, and every fan-in hop."""
+    import oracle
+    g, meta = PRESETS["config5"]()
+    T = 48_000
+    x = _input(T)
+    with precision.policy("parity"):
+        outs, _, _ = dst.render(g, {str(meta["input"]): x})
+    want = _oracle_config5(x)
+    db = oracle.max_err_dbfs(np.asarray(outs)[0], want)
+    assert db <= -90.0, db
+
+
+def test_config2_parity_vs_oracle():
+    """Config #2 (echo + chorus): reverb oracle (reverb.rs:76-111) composed
+    with the extension chorus oracle."""
+    import oracle
+    g, meta = PRESETS["config2"]()
+    T = 4096
+    x = _input(T)
+    with precision.policy("parity"):
+        outs, _, _ = dst.render(g, {str(meta["input"]): x})
+    F32 = np.float32
+    v, _ = oracle.reverb(_h(x), 0.25, 0.45, None)
+    v, _, _ = oracle.chorus(_h(v), 0.8, 0.004, 0.012, 0.5)
+    v = (_h(v) * F32(0.9)).astype(F32)
+    want = _h(v)
+    db = oracle.max_err_dbfs(np.asarray(outs)[0], want)
+    assert db <= -90.0, db
+
+
 def test_config5_stereo_pair_batching():
     """BASELINE names batch_shape=(64, 2): nested vmap with shared
     (lockstep) state leaves must compile and match the flat batch."""
