@@ -33,9 +33,15 @@ import numpy as np
 
 
 SECONDS = 60.0          # audio length per timed render
-N_CHAIN = 10            # chained renders per timing (state-fed, serialized)
+# chained renders per timing (state-fed, serialized inside ONE dispatch).
+# The tunnel's fixed dispatch + host-fetch cost is ~27 ms; at the r1 value
+# (10) it was ~half of the measured wall time, capping the reported RTF at
+# ~2x below the engine's actual throughput.  50 renders amortize it to <5%.
+N_CHAIN = 50
 N_TIMED = 3             # timings (best-of)
 SR = 48_000
+# parity-accuracy render length (seconds); override for quick local runs
+ACC_SECONDS = float(os.environ.get("DST_BENCH_ACC_SECONDS", "10"))
 
 
 def build_chain():
@@ -111,6 +117,14 @@ def main():
     except Exception as e:
         print(f"bench: accuracy metric failed: {e!r}", file=sys.stderr)
 
+    cfg_rtf = {}
+    for name in ("config2", "config3", "config4"):
+        try:
+            cfg_rtf[name] = round(_config_metric(name, rng), 1)
+        except Exception as e:
+            print(f"bench: {name} metric failed: {e!r}", file=sys.stderr)
+            cfg_rtf[name] = None
+
     print(json.dumps({
         "metric": "rtf_10node_stereo_chain_48k",
         "value": round(rtf, 1),
@@ -121,8 +135,12 @@ def main():
         "wall_seconds_best": round(best, 4),
         "accuracy_dbfs_vs_oracle_parity":
             round(float(acc_dbfs), 1) if acc_dbfs is not None else None,
+        "accuracy_render_seconds": ACC_SECONDS,
         "rtf_16node_feedback_64_stereo_streams":
             round(rtf_batched, 1) if rtf_batched is not None else None,
+        "rtf_config2_echo_chorus": cfg_rtf.get("config2"),
+        "rtf_config3_oversampled_distortion": cfg_rtf.get("config3"),
+        "rtf_config4_convolution_reverb_stereo": cfg_rtf.get("config4"),
         "target_rtf": 1000.0,
         "target_accuracy_dbfs": -90.0,
     }))
@@ -173,14 +191,31 @@ def _batched_metric(jax, dst, precision, rng):
     g5, meta5 = config5_feedback_16node()
     xb = (rng.standard_normal((S, Tb)) * 0.2).astype(np.float32)
     best5 = _time_chained_renders(g5, {str(meta5["input"]): xb},
-                                  batch=S, n_chain=3)
-    return (S * (Tb / SR) * 3) / best5
+                                  batch=S, n_chain=5)
+    return (S * (Tb / SR) * 5) / best5
+
+
+def _config_metric(name: str, rng) -> float:
+    """Fast-policy RTF for one of the remaining BASELINE configs (mono,
+    10 s, chained)."""
+    from dsp_stuff_tpu.models import PRESETS
+    if name == "config4":
+        g, meta = PRESETS[name](ir_seconds=0.5)
+    else:
+        g, meta = PRESETS[name]()
+    T = SR * 10
+    x = (rng.standard_normal((1, T)) * 0.25).astype(np.float32)
+    best = _time_chained_renders(g, {str(meta["input"]): x}, batch=1,
+                                 n_chain=20)
+    return (T / SR) * 20 / best
 
 
 def _accuracy_metric(jax, dst, precision, g, inp_id, x):
-    # accuracy vs oracle (parity policy, 0.5 s; the f64-emulated TPU
-    # compile is minutes-slow, so keep this program small)
-    Ta = SR // 2 // 128 * 128
+    # accuracy vs oracle under the parity policy over ACC_SECONDS of audio
+    # (10 s by default: long-form drift evidence on the real chip; the
+    # per-sample NumPy oracle and the f64-emulated TPU compile dominate
+    # the cost, measured ~80 s total)
+    Ta = int(ACC_SECONDS * SR) // 128 * 128
     xa = x[0, :, :Ta]
     with precision.policy("parity"):
         cg2 = dst.compile_graph(g)

@@ -114,10 +114,16 @@ def _chunked_batched(x, atk, rel, env0, chunk):
 
 
 def _fast_fwd_batched(x, atk, rel, env0):
-    """Forward for explicit [B, T] input: chunked when long enough, the
-    Pallas kernel when opted in, the plain scan otherwise."""
+    """Forward for explicit [B, T] input: chunked when long enough (the
+    on-chip Pallas variant when opted in), the plain Pallas kernel or scan
+    otherwise."""
     B, T = x.shape
     if T > 2 * _CHUNK:
+        if _use_pallas():
+            from dsp_stuff_tpu.ops.pallas_envelope import (
+                peak_envelope_pallas_chunked)
+            return peak_envelope_pallas_chunked(x, atk, rel, env0,
+                                                chunk=_CHUNK)
         return _chunked_batched(x, atk, rel, env0, _CHUNK)
     if _use_pallas():
         from dsp_stuff_tpu.ops.pallas_envelope import peak_envelope_pallas

@@ -111,3 +111,125 @@ def peak_envelope_pallas(x, attack_gain, release_gain, env0=0.0,
     if squeeze:
         return env[0], final[0]
     return env, final
+
+
+# ---------------------------------------------------------------------------
+# Chunk-parallel kernel: chunks ride the SUBLANE axis, streams the lanes.
+#
+# The plain kernel above advances one [1, BLANES] vector per on-chip step —
+# T steps total.  The contraction argument (ops/envelope.py) lets T/chunk
+# chunks run in parallel; putting 8 of them on the sublane axis makes every
+# step a full [8, 128] vreg-pair op, so a pass over the whole signal costs
+# only `chunk` steps per (chunk-group x lane-group) grid cell.  Two passes
+# (guess, then correct) replace the T-step sequential sweep.
+# ---------------------------------------------------------------------------
+
+PSUB = 8           # chunks per sublane tile
+TSTEP = 512        # time samples staged per grid step
+
+
+def _chunk_kernel(emit: bool):
+    def kernel(gains_ref, starts_ref, x_ref, *refs):
+        """Grid (jb, jp, k): lane-group jb, chunk-group jp, time block k.
+
+        gains_ref  SMEM (1, 2): (attack_gain, release_gain)
+        starts_ref VMEM [PSUB, 128]: per-chunk initial envelopes
+        x_ref      VMEM [TSTEP, PSUB, 128] (time-major chunk block)
+        out_ref    VMEM [TSTEP, PSUB, 128] (emit only)
+        fin_ref    VMEM [PSUB, 128]: final env per chunk
+        env_ref    VMEM scratch [PSUB, 128]
+        """
+        if emit:
+            out_ref, fin_ref, env_ref = refs
+        else:
+            fin_ref, env_ref = refs
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            env_ref[:, :] = starts_ref[:, :]
+
+        atk = gains_ref[0, 0]
+        rel = gains_ref[0, 1]
+
+        def step(t, env):                              # env [PSUB, 128]
+            d = jnp.abs(x_ref[t])
+            gain = jnp.where(env < d, atk, rel)
+            env = d + gain * (env - d)
+            if emit:
+                out_ref[t] = env
+            return env
+
+        env = jax.lax.fori_loop(0, TSTEP, step, env_ref[:, :])
+        env_ref[:, :] = env
+        fin_ref[:, :] = env
+    return kernel
+
+
+def _chunk_pass(xt, starts, gains, emit: bool, interpret: bool):
+    """One pass over xt [chunk, P8, Bp] from starts [P8, Bp]."""
+    chunk, P8, Bp = xt.shape
+    K = chunk // TSTEP
+    grid = (Bp // BLANES, P8 // PSUB, K)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda jb, jp, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((PSUB, BLANES), lambda jb, jp, k: (jp, jb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TSTEP, PSUB, BLANES), lambda jb, jp, k: (k, jp, jb),
+                     memory_space=pltpu.VMEM),
+    ]
+    fin_spec = pl.BlockSpec((PSUB, BLANES), lambda jb, jp, k: (jp, jb),
+                            memory_space=pltpu.VMEM)
+    fin_shape = jax.ShapeDtypeStruct((P8, Bp), jnp.float32)
+    if emit:
+        out_specs = (pl.BlockSpec((TSTEP, PSUB, BLANES),
+                                  lambda jb, jp, k: (k, jp, jb),
+                                  memory_space=pltpu.VMEM), fin_spec)
+        out_shape = (jax.ShapeDtypeStruct((chunk, P8, Bp), jnp.float32),
+                     fin_shape)
+    else:
+        out_specs, out_shape = fin_spec, fin_shape
+    with jax.enable_x64(False):     # i64 index maps: see peak_envelope_pallas
+        return pl.pallas_call(
+            _chunk_kernel(emit), grid=grid, in_specs=in_specs,
+            out_specs=out_specs, out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((PSUB, BLANES), jnp.float32)],
+            interpret=interpret,
+        )(gains, starts, xt)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def peak_envelope_pallas_chunked(x, attack_gain, release_gain, env0=0.0,
+                                 chunk: int = 32768,
+                                 interpret: bool = False):
+    """Chunk-parallel two-pass envelope on TPU: x [B, T] -> (env, final).
+
+    Same contraction-based algorithm as ops/envelope._chunked_batched (see
+    there for the convergence bound), but the per-chunk scan runs on-chip:
+    `2 * chunk` fori steps per lane/chunk-group instead of an XLA
+    while-loop, each step one [8, 128] VPU op.
+    """
+    f32 = jnp.float32
+    x = jnp.asarray(x, f32)
+    B, T = x.shape
+    assert chunk % TSTEP == 0
+    P = -(-T // chunk)
+    P8 = -(-P // PSUB) * PSUB
+    Bp = -(-B // BLANES) * BLANES
+    xp = jnp.pad(x, ((0, Bp - B), (0, P * chunk - T)))
+    xt = jnp.pad(jnp.transpose(xp.reshape(Bp, P, chunk), (2, 1, 0)),
+                 ((0, 0), (0, P8 - P), (0, 0)))          # [chunk, P8, Bp]
+
+    gains = jnp.stack([jnp.asarray(attack_gain, f32),
+                       jnp.asarray(release_gain, f32)]).reshape(1, 2)
+    e0 = jnp.zeros((Bp,), f32).at[:B].set(
+        jnp.broadcast_to(jnp.asarray(env0, f32), (B,)))
+    starts = jnp.zeros((P8, Bp), f32).at[0].set(e0)
+
+    finals = _chunk_pass(xt, starts, gains, emit=False, interpret=interpret)
+    starts2 = jnp.concatenate([e0[None], finals[:-1]], axis=0)
+    ys, _ = _chunk_pass(xt, starts2, gains, emit=True, interpret=interpret)
+    env = jnp.transpose(ys[:, :P, :], (2, 1, 0)).reshape(Bp, P * chunk)
+    env = env[:B, :T]
+    return env, env[:, -1]
