@@ -118,8 +118,16 @@ class Envelope:
 
     @staticmethod
     def process_seq(params, state, inputs):
-        y, env = peak_envelope(inputs["in"], params["attack"],
-                               params["release"], state["env"])
+        # clamp to the slider's physical range (envelope.rs sliders are
+        # 0..1000 frames; the reference can never see values outside it):
+        # a fitted/modulated frame count < 0 would make
+        # gain_from_frames(f) = exp(-1/f) > 1 -- an amplifying, divergent
+        # recurrence the real node cannot express
+        atk = jnp.clip(jnp.asarray(params["attack"], jnp.float32),
+                       0.0, 1000.0)
+        rel = jnp.clip(jnp.asarray(params["release"], jnp.float32),
+                       0.0, 1000.0)
+        y, env = peak_envelope(inputs["in"], atk, rel, state["env"])
         return {"out": y}, {"env": env}
 
 

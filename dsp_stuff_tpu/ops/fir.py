@@ -89,14 +89,19 @@ def _fft_conv(x, h):
 
     # overlap-save: frames of nfft with N-1 samples of history each; every
     # frame yields hop = nfft-(N-1) valid outputs after discarding the
-    # wrap-around prefix
+    # wrap-around prefix.  nfft >= 2N guarantees overlap (N-1) <= hop, so
+    # the overlapping frames build from two contiguous reshapes (cheap
+    # block copies) instead of a [K, nfft] gather (measured ~4 ms per
+    # 480k-sample render on v5e for the gather alone).
     nfft = nfft_os
     hop = nfft - (N - 1)
     K = -(-T // hop)
     batch = x.shape[:-1]
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(N - 1, K * hop - T)])
-    idx = jnp.arange(K)[:, None] * hop + jnp.arange(nfft)[None, :]
-    frames = xp[..., idx]                                  # [..., K, nfft]
+    lead = [(0, 0)] * (x.ndim - 1)
+    xp = jnp.pad(x, lead + [(N - 1, K * hop - T + hop)])
+    W1 = xp[..., :K * hop].reshape(*batch, K, hop)
+    W2 = xp[..., hop:hop + K * hop].reshape(*batch, K, hop)[..., :N - 1]
+    frames = jnp.concatenate([W1, W2], axis=-1)            # [..., K, nfft]
     H = jnp.fft.rfft(h.astype(dt), nfft)
     Y = jnp.fft.irfft(jnp.fft.rfft(frames, nfft) * H, nfft)
     y = Y[..., N - 1:].reshape(*batch, K * hop)[..., :T]
@@ -147,13 +152,18 @@ def fir_apply(x, taps_rev, state, divisor=1.0):
         jnp.clip(seg_pos, 0, T - 1), axis=-1)
     firstbuf = jnp.where(in_seg, gathered, firstbuf)
     warm_cum = jnp.cumsum(firstbuf * taps_rev[: N - 1].astype(acc_dt), axis=-1)
-    # warm-up output for global index g (< N-1) is warm_cum[g]
+    # warm-up output for global index g (< N-1) is warm_cum[g].  Warm
+    # samples are always a segment PREFIX (g = n_seen + t < N-1), so only
+    # the first min(N-1, T) samples can need it — gather over that static
+    # prefix instead of all T (a 480k render warms at most its first N-1).
+    Wp = min(N - 1, T)
     g_of_t = n_seen[..., None] + jnp.arange(T)                     # [..., T]
-    warm_out = jnp.take_along_axis(
-        jnp.broadcast_to(warm_cum, (*g_of_t.shape[:-1], N - 1)),
-        jnp.clip(g_of_t, 0, N - 2), axis=-1)
-
-    y = jnp.where(g_of_t < N - 1, warm_out, y_steady)
+    g_pre = g_of_t[..., :Wp]
+    warm_pre = jnp.take_along_axis(
+        jnp.broadcast_to(warm_cum, (*g_pre.shape[:-1], N - 1)),
+        jnp.clip(g_pre, 0, N - 2), axis=-1)
+    y_pre = jnp.where(g_pre < N - 1, warm_pre, y_steady[..., :Wp])
+    y = jnp.concatenate([y_pre, y_steady[..., Wp:]], axis=-1)
     y = y.astype(jnp.float32) * jnp.float32(divisor)
 
     # ---- state update ----

@@ -125,3 +125,30 @@ def test_fit_differentiable_through_chorus():
         grads = jax.grad(loss)(cg.init_params(), cg.init_state(), ext, target)
     leaves = jax.tree.leaves(grads)
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_fit_through_envelope():
+    """Gradients flow THROUGH an envelope node (the fast path's analytic
+    custom_vjp, ops/envelope.py) and recover an upstream gain: the train
+    path must work on graphs containing the non-associative recurrence."""
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    gn = g.add("gain", level=0.5)
+    en = g.add("envelope", attack=10.0, release=60.0)
+    out = g.add("output")
+    g.chain(inp, gn, en, out)
+    cg = dst.compile_graph(g)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(1024) * 0.5).astype(np.float32)
+    ext = {str(inp.id): x}
+    with precision.policy("fast"):
+        target_p = cg.init_params()
+        target_p[str(gn.id)]["level"] = jnp.float32(1.7)
+        target, _, _ = cg.render(ext, params=target_p)
+        import optax
+        fitted, losses = fit(cg, ext, np.asarray(target), steps=250,
+                             optimizer=optax.adam(0.05))
+    assert losses[-1] < 1e-4, losses[-1]
+    assert abs(float(fitted[str(gn.id)]["level"]) - 1.7) < 0.08
+    # the envelope's own sliders picked up finite (possibly zero) grads
+    assert np.isfinite(float(fitted[str(en.id)]["attack"]))
