@@ -40,8 +40,12 @@ SECONDS = 60.0          # audio length per timed render
 N_CHAIN = 50
 N_TIMED = 3             # timings (best-of)
 SR = 48_000
-# parity-accuracy render length (seconds); override for quick local runs
-ACC_SECONDS = float(os.environ.get("DST_BENCH_ACC_SECONDS", "10"))
+# parity-accuracy render length (seconds); override for quick local runs.
+# Clamped to SECONDS: the accuracy slice reuses the timed input signal, so
+# a larger request would silently truncate while reporting the requested
+# length.
+ACC_SECONDS = min(float(os.environ.get("DST_BENCH_ACC_SECONDS", "10")),
+                  SECONDS)
 
 
 def build_chain():

@@ -75,10 +75,14 @@ def _avg(sources: list, T: int):
     Under the 'exact' policy two XLA rewrites must be blocked to get the
     reference's bit pattern:
 
-    * FMA contraction of a producer's multiply into the fan-in add (the
-      Rust reference compiles mul and add as two roundings) -- each source
-      passes through ``lax.reduce_precision``, an f32 identity the
-      simplifier never removes (see ops/scan._mul_unfused);
+    * FMA contraction of a producer's trailing multiply into the fan-in
+      add (the Rust reference compiles mul and add as two roundings).
+      An f32->f32 ``reduce_precision`` fence here does NOT stop it (it is
+      an identity the simplifier sees through), so the protection lives at
+      the PRODUCERS: every bitwise-class node whose last op is a bare
+      multiply emits it via ``precision.exact_mul`` (Gain, Mix,
+      signal_gen, the reverb comb) -- the f64-product-rounded-to-f32 form
+      LLVM cannot contract (ops/scan._mul_unfused);
     * the algebraic simplifier's divide rewrites (recip-mul and
       divide-chain fusion) vs the reference's true f32 division
       (node.rs:190-192) -- handled by ``precision.div_ieee``."""
@@ -87,10 +91,6 @@ def _avg(sources: list, T: int):
         return jnp.zeros((T,), jnp.float32), 0
     from dsp_stuff_tpu.utils import precision
     exact = precision.get_policy().sequential_recurrences
-    if exact and n > 1:
-        sources = [jax.lax.reduce_precision(s, exponent_bits=8,
-                                            mantissa_bits=23)
-                   for s in sources]
     acc = sources[0]
     for s in sources[1:]:
         acc = acc + s

@@ -124,16 +124,12 @@ class Spectrogram:
     def frequencies(params):
         """Frequency of each display-grid column for a param set (the
         exponential-position grid the interpolated columns live on;
-        host-side, static)."""
-        import numpy as np
-        from dsp_stuff_tpu.ops.fftspec import (_kept_bins,
-                                               exponential_positions)
-        fft_size = int(params["fft_size"])
-        freqs, keep = _kept_bins(fft_size, float(params["lower_bound"]),
-                                 float(params["upper_bound"]), 48_000)
-        pos = exponential_positions(keep.size)
-        grid = np.linspace(0.0, 1.0, keep.size)
-        return np.asarray(np.interp(grid, pos, freqs[keep]), np.float32)
+        host-side, static).  Delegates to the single source of truth in
+        ops/fftspec so it can never drift from what analyze() renders."""
+        from dsp_stuff_tpu.ops.fftspec import grid_frequencies
+        return grid_frequencies(int(params["fft_size"]),
+                                float(params["lower_bound"]),
+                                float(params["upper_bound"]), 48_000)
 
     @staticmethod
     def window(columns, params, end_frame: int):

@@ -21,7 +21,11 @@ class Gain:
 
     @staticmethod
     def process_seq(params, state, inputs):
-        return {"out": inputs["in"] * params["level"]}, state
+        # exact_mul: under the 'exact' policy a bare trailing f32 multiply
+        # would FMA-contract into the CONSUMER's fan-in add (one rounding
+        # where the reference has two); order-protect it at the producer
+        from dsp_stuff_tpu.utils.precision import exact_mul
+        return {"out": exact_mul(inputs["in"], params["level"])}, state
 
 
 @register_node(

@@ -66,7 +66,7 @@ def feedback_comb(x, decay, delay: int, history=None):
                               associative, unfused)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5), inline=True)
 def _feedback_comb_jit(x, decay, history, D: int, associative: bool,
                        unfused: bool):
     f32 = jnp.float32

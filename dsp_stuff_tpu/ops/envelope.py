@@ -37,8 +37,6 @@ The fast path is wrapped in
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -119,7 +117,10 @@ def _fast_fwd_batched(x, atk, rel, env0):
     otherwise."""
     B, T = x.shape
     if T > 2 * _CHUNK:
-        if _use_pallas():
+        # the Pallas chunked kernel pads batch to 128 lanes and chunks to
+        # 8 sublanes -- for small B that stages up to ~100x padding
+        # through HBM; only worth it when the lanes are mostly real
+        if _use_pallas() and B >= 64:
             from dsp_stuff_tpu.ops.pallas_envelope import (
                 peak_envelope_pallas_chunked)
             return peak_envelope_pallas_chunked(x, atk, rel, env0,
@@ -206,11 +207,31 @@ def _env_core(x, atk, rel, env0):
 _env_core.defvjp(_env_core_fwd, _env_core_bwd)
 
 
-@functools.partial(jax.jit)
+# The chunked path's convergence bound: g^_CHUNK must sit far below f32
+# rounding, i.e. frames <~ _CHUNK / 21.  The Envelope node clamps its
+# sliders to the reference's 0..1000 range; direct callers with larger
+# CONCRETE frame counts fall back to the sequential scan here, and traced
+# (fit-time) frame values rely on the node clamp (documented contract).
+_MAX_CHUNKED_FRAMES = 1500.0
+
+
+def _frames_maybe_too_large(frames) -> bool:
+    try:
+        return float(frames) > _MAX_CHUNKED_FRAMES
+    except Exception:       # traced value: trust the node-level clamp
+        return False
+
+
 def peak_envelope(x, attack_frames=0.0, release_frames=0.0, env0=0.0):
     """Full-wave peak detection along the last axis.
 
     Returns (env [..., T] f32, final_env).
+
+    NOT wrapped in a module-level jax.jit: the precision policy is read at
+    trace time, and a shared jit cache keyed only on shapes would silently
+    reuse a fast-policy trace for an exact-policy call (and vice versa).
+    Callers inside compile_graph are jitted there; standalone callers jit
+    themselves if they care.
     """
     from dsp_stuff_tpu.utils import precision
     f32 = jnp.float32
@@ -219,7 +240,9 @@ def peak_envelope(x, attack_frames=0.0, release_frames=0.0, env0=0.0):
     rel = gain_from_frames(release_frames)
     env0 = jnp.broadcast_to(jnp.asarray(env0, f32), x.shape[:-1])
     if (precision.get_policy().name == "fast"
-            and x.ndim <= 2 and atk.ndim == 0 and rel.ndim == 0):
+            and x.ndim <= 2 and atk.ndim == 0 and rel.ndim == 0
+            and not _frames_maybe_too_large(attack_frames)
+            and not _frames_maybe_too_large(release_frames)):
         if x.ndim == 2:
             # explicit batch: route through vmap so the custom_vmap rule
             # picks the lane-friendly [P, B] carry layout

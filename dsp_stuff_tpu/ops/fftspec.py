@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,9 +122,25 @@ def spectrogram(x, fft_size: int = 512, lower_hz: float = 20.0,
     n = keep.size
     K = int(resolution) if resolution else n
     W = jnp.asarray(_catmull_rom_matrix(n, K))
-    cols = spec @ W.T                       # [..., n_frames, K]
-    # frequency of each uniform grid point: invert the position map by
-    # interpolating freq over position
+    # HIGHEST: v5e f32 matmuls default to one-pass bf16 (~-52 dBFS error)
+    cols = jnp.einsum("...k,jk->...j", spec, W,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    return grid_frequencies(fft_size, lower_hz, upper_hz, sample_rate, K), \
+        cols
+
+
+def grid_frequencies(fft_size: int, lower_hz: float, upper_hz: float,
+                     sample_rate: int = 48_000,
+                     resolution: int | None = None) -> np.ndarray:
+    """Frequency of each display-grid column: invert the exponential
+    position map by interpolating bin frequency over position.  The single
+    source of truth for 'a tone's column peak sits at its own frequency'
+    (used by spectrogram() above and the Spectrogram node's
+    ``frequencies``)."""
+    freqs, keep = _kept_bins(fft_size, lower_hz, upper_hz, sample_rate)
+    n = keep.size
+    K = int(resolution) if resolution else n
     pos = exponential_positions(n)
     grid_f = np.interp(np.linspace(0.0, 1.0, K), pos, freqs[keep])
-    return np.asarray(grid_f, np.float32), cols
+    return np.asarray(grid_f, np.float32)

@@ -107,14 +107,17 @@ def oscillator(mode: str, amplitude, frequency, T: int,
 
     totals, clocks, final_clock = _block_totals(frequency, T, block_size,
                                                 sample_rate, clock0)
+    # exact_mul: the trailing *amp must not FMA-contract into a consumer's
+    # fan-in add under the 'exact' policy (order-protected at the producer)
+    from dsp_stuff_tpu.utils.precision import exact_mul
     phase = clocks + totals
     if mode == "Sine":
-        y = jnp.sin(phase * TAU) * amp
+        y = exact_mul(jnp.sin(phase * TAU), amp)
     elif mode == "Triangle":
-        y = (2.0 * jnp.mod(phase, 1.0) - 1.0) * amp
+        y = exact_mul(2.0 * jnp.mod(phase, 1.0) - 1.0, amp)
     elif mode == "Square":
         # reference bug kept: compares intra-block total only
-        y = jnp.where(totals > 0.5, f32(1.0), f32(-1.0)) * amp
+        y = exact_mul(jnp.where(totals > 0.5, f32(1.0), f32(-1.0)), amp)
     else:
         raise ValueError(mode)
     return y, final_clock

@@ -61,7 +61,7 @@ def _kernel(gains_ref, env0_ref, x_ref, out_ref, env_ref):
     env_ref[:, :] = env
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret",), inline=True)
 def peak_envelope_pallas(x, attack_gain, release_gain, env0=0.0,
                         interpret: bool = False):
     """x [B, T] (or [T]) -> (env [B, T], final_env [B]).
@@ -199,7 +199,7 @@ def _chunk_pass(xt, starts, gains, emit: bool, interpret: bool):
         )(gains, starts, xt)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"), inline=True)
 def peak_envelope_pallas_chunked(x, attack_gain, release_gain, env0=0.0,
                                  chunk: int = 32768,
                                  interpret: bool = False):

@@ -98,7 +98,7 @@ def _tap_matrices(a, R: int, C: int):
     return aC, Lt, LtR, pows[1:].reshape(1, C)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret",), inline=True)
 def first_order_pallas(a, b, y0, interpret: bool = False):
     """y[t] = a*y[t-1] + b[t] along the last axis; a scalar, b [..., T].
 

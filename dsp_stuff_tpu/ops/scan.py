@@ -72,7 +72,7 @@ def _use_pallas() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4), inline=True)
 def _first_order_jit(a, b, y0, internal_dtype, sequential):
     if sequential:
         return _first_order_sequential(a, b, y0)
@@ -222,7 +222,7 @@ def biquad_df1(x, a1, a2, b0, b1, b2, state=None):
                        pol.sequential_recurrences)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4), inline=True)
 def _biquad_jit(x, coeffs, state, internal_dtype, sequential):
     a1, a2, b0, b1, b2 = coeffs
     x1, x2, y1, y2 = state

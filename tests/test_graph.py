@@ -73,7 +73,11 @@ def test_fan_in_three_way_exact_bitwise():
     x = RNG.standard_normal(T).astype(np.float32)
     g = dst.Graph()
     inp = g.add("input")
-    gains = [g.add("gain", level=lv) for lv in (1.0, 3.0, 0.25)]
+    # awkward, inexact-product levels: identity/power-of-two levels would
+    # mask a missing FMA fence (a fused mul+add rounds once where the
+    # reference rounds twice -- caught only when the product is inexact)
+    LV = (0.7310586, 1.3, 2.7)
+    gains = [g.add("gain", level=lv) for lv in LV]
     out = g.add("output")
     for gn in gains:
         g.connect(inp, "out", gn, "in")
@@ -82,7 +86,7 @@ def test_fan_in_three_way_exact_bitwise():
         outs, _, _ = dst.render(g, x[None])
     xin = oracle.fanin_average([x])
     ys = [(xin * np.float32(lv)).astype(np.float32)
-          for lv in (1.0, 3.0, 0.25)]
+          for lv in LV]
     want = oracle.fanin_average(ys)
     np.testing.assert_array_equal(np.asarray(outs[0]), want)
 

@@ -241,6 +241,39 @@ def test_envelope_fast_grad_matches_scan_ad():
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_envelope_policy_switch_no_stale_trace():
+    """peak_envelope must not cache a trace across policy changes: a
+    fast-policy call followed by an exact-policy call with the SAME shape
+    must produce the sequential bit-order result (review finding: the old
+    module-level jax.jit keyed only on shapes)."""
+    import jax.numpy as jnp
+    T_ = 2 * env_ops._CHUNK + 512          # long enough to take chunked
+    x = sig(T_, scale=0.5)
+    with precision.policy("fast"):
+        env_ops.peak_envelope(x, 50.0, 400.0)      # prime any cache
+    with precision.policy("exact"):
+        got, _ = env_ops.peak_envelope(x, 50.0, 400.0)
+    atk = env_ops.gain_from_frames(50.0)
+    rel = env_ops.gain_from_frames(400.0)
+    want, _ = env_ops._seq_scan(jnp.asarray(x), atk, rel, jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_envelope_huge_frames_fall_back_to_seq():
+    """Concrete frame counts beyond the chunked path's convergence bound
+    (~_CHUNK/21) must take the sequential scan — at frames=48000 the
+    chunk-seed error is ~exp(-32768/48000) ~= 0.5, i.e. garbage."""
+    import jax.numpy as jnp
+    T_ = 2 * env_ops._CHUNK + 512
+    x = sig(T_, scale=0.5)
+    with precision.policy("fast"):
+        got, _ = env_ops.peak_envelope(x, 48000.0, 48000.0)
+    atk = env_ops.gain_from_frames(48000.0)
+    rel = env_ops.gain_from_frames(48000.0)
+    want, _ = env_ops._seq_scan(jnp.asarray(x), atk, rel, jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_envelope_fast_policy_long_render():
     """peak_envelope auto-selects the chunked path under the fast policy
     for long signals; result must match the parity-policy sequential scan
