@@ -73,8 +73,14 @@ class LowPass:
 
     @staticmethod
     def process_seq(params, state, inputs):
-        r = jnp.asarray(params["ratio"], jnp.float32)
-        b = inputs["in"] * (jnp.float32(1.0) - r)
+        # pass the RAW param as the coefficient: a Python float (the
+        # normal, non-fitted case) lets first_order_affine build its
+        # Toeplitz tap matrix as a trace-time constant -- converting to a
+        # jnp array first would hand it a tracer and put per-call
+        # cumprod/where ops inside every feedback-cycle block
+        r = params["ratio"]
+        rj = jnp.asarray(r, jnp.float32)
+        b = inputs["in"] * (jnp.float32(1.0) - rj)
         y = first_order_affine(r, b, state["z"])
         return {"out": y}, {"z": y[..., -1]}
 
@@ -95,8 +101,9 @@ class HighPass:
     @staticmethod
     def process_seq(params, state, inputs):
         x = inputs["in"]
-        r = jnp.asarray(params["ratio"], jnp.float32)
-        z = first_order_affine(r, x * (jnp.float32(1.0) - r), state["z"])
+        r = params["ratio"]                 # raw: see LowPass note
+        rj = jnp.asarray(r, jnp.float32)
+        z = first_order_affine(r, x * (jnp.float32(1.0) - rj), state["z"])
         return {"out": x - z}, {"z": z[..., -1]}
 
 

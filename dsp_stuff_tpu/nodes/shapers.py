@@ -127,8 +127,9 @@ class Muff:
         # tone stack: crossfade LP (toan=0) <-> HP (toan=1); both legs share
         # the same one-pole at ~500 Hz (r = exp(-2*pi*fc/sr) ~= 0.9367),
         # since hp = v - lp
-        r = jnp.float32(0.93669)
-        lp = first_order_affine(r, v * (1.0 - r), state["lp_z"])
+        r = 0.93669     # python float: trace-time-constant tap matrix
+        lp = first_order_affine(r, v * (1.0 - jnp.float32(r)),
+                                state["lp_z"])
         hp = v - lp
         y = ((1.0 - toan) * lp + toan * hp) * level
         return {"out": y}, {"lp_z": lp[..., -1]}

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dsp_stuff_tpu.utils.precision import get_policy
 
@@ -50,10 +51,27 @@ def first_order_affine(a, b, y0):
 
     Jitted per precision policy so standalone calls don't pay eager
     per-level dispatch; inside compile_graph's jit this simply inlines.
+
+    When ``a`` is a CONCRETE scalar (the normal case: slider params are
+    Python floats) the blocked path is entered directly, bypassing the
+    jit wrapper: the wrapper abstracts ``a`` into a tracer, which turns
+    the Toeplitz tap matrix into per-call cumprod/where ops that XLA
+    neither constant-folds (cumprod lowers through a while loop) nor
+    hoists out of an enclosing feedback-cycle scan — measured ~15 us per
+    128-sample block, 3x the rest of a cycle body.  Concrete ``a`` builds
+    the matrices in NumPy as trace-time constants instead.
     """
     pol = get_policy()
+    b_arr = jnp.asarray(b, jnp.float32)
+    if (not pol.sequential_recurrences
+            and pol.scan_internal_dtype == "float32"
+            and np.ndim(a) == 0 and not isinstance(a, jax.core.Tracer)
+            and b_arr.shape[-1] >= 2
+            and not (_use_pallas() and b_arr.shape[-1] >= 1024)):
+        return _first_order_blocked(float(a), b_arr,
+                                    jnp.asarray(y0, jnp.float32))
     return _first_order_jit(jnp.asarray(a, jnp.float32),
-                            jnp.asarray(b, jnp.float32),
+                            b_arr,
                             jnp.asarray(y0, jnp.float32),
                             pol.scan_internal_dtype,
                             pol.sequential_recurrences)
@@ -130,12 +148,28 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
     B = bp.reshape(*batch, K, C)
 
-    i = jnp.arange(C)
-    # powers a^0..a^C; guard pow for a == 0 (0^0 = 1 here)
-    pows = jnp.concatenate([jnp.ones((1,), f32),
-                            jnp.cumprod(jnp.full((C,), a, f32))])
-    Lt = jnp.where(i[:, None] <= i[None, :],
-                   pows[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
+    concrete = isinstance(a, (int, float, np.floating))
+    i = np.arange(C) if concrete else jnp.arange(C)
+    # powers a^0..a^C; guard pow for a == 0 (0^0 = 1 here).  With a
+    # concrete coefficient (slider params are Python floats) the matrices
+    # build in NumPy as trace-time CONSTANTS — a traced cumprod is a
+    # while-lowered op XLA neither folds nor hoists out of an enclosing
+    # feedback-cycle scan (~15 us per 128-block, see first_order_affine)
+    if concrete:
+        pows_np = np.concatenate([np.ones(1, np.float32),
+                                  np.cumprod(np.full(C, a, np.float32),
+                                             dtype=np.float32)])
+        Lt = jnp.asarray(np.where(
+            i[:, None] <= i[None, :],
+            pows_np[np.clip(i[None, :] - i[:, None], 0, C)], 0.0
+        ).astype(np.float32))
+        pows = jnp.asarray(pows_np)
+        aC_c = pows_np[C]
+    else:
+        pows = jnp.concatenate([jnp.ones((1,), f32),
+                                jnp.cumprod(jnp.full((C,), a, f32))])
+        Lt = jnp.where(i[:, None] <= i[None, :],
+                       pows[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
 
     z = jnp.einsum("...kc,cd->...kd", B, Lt,
                    preferred_element_type=f32,
@@ -146,18 +180,29 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     # length K, so recurse: T=2.88M resolves as 2-3 matmul levels
     # (11250 -> 44 -> direct) instead of a log-K Blelloch scan whose ~14
     # dispatch-bound passes dominated the op's runtime on v5e.
-    aC = pows[C]
+    aC = aC_c if concrete else pows[C]
     ends = z[..., :, C - 1]                                # [..., K]
     y0b = jnp.broadcast_to(jnp.asarray(y0, f32), batch)
     if K > C:
         e = _first_order_blocked(aC, ends, y0b, C)
     elif K > 8:
         # single Toeplitz matmul level
-        i2 = jnp.arange(K)
-        pows2 = jnp.concatenate([jnp.ones((1,), f32),
-                                 jnp.cumprod(jnp.full((K,), aC, f32))])
-        Lt2 = jnp.where(i2[:, None] <= i2[None, :],
-                        pows2[jnp.clip(i2[None, :] - i2[:, None], 0, K)], 0.0)
+        if concrete:
+            i2 = np.arange(K)
+            pows2_np = np.concatenate(
+                [np.ones(1, np.float32),
+                 np.cumprod(np.full(K, aC, np.float32), dtype=np.float32)])
+            Lt2 = jnp.asarray(np.where(
+                i2[:, None] <= i2[None, :],
+                pows2_np[np.clip(i2[None, :] - i2[:, None], 0, K)], 0.0
+            ).astype(np.float32))
+        else:
+            i2 = jnp.arange(K)
+            pows2 = jnp.concatenate([jnp.ones((1,), f32),
+                                     jnp.cumprod(jnp.full((K,), aC, f32))])
+            Lt2 = jnp.where(
+                i2[:, None] <= i2[None, :],
+                pows2[jnp.clip(i2[None, :] - i2[:, None], 0, K)], 0.0)
         ends0 = ends.at[..., 0].add(aC * y0b)
         e = jnp.einsum("...k,kd->...d", ends0, Lt2,
                        preferred_element_type=f32,
