@@ -39,14 +39,22 @@ class BiQuad:
 
     @staticmethod
     def process_seq(params, state, inputs):
-        # f32 division by a0 as in regenerate_filter (biquad.rs:64-71);
-        # jnp so coefficients stay differentiable/traceable
-        a0 = jnp.asarray(params["a0"], jnp.float32)
-        a1 = jnp.asarray(params["a1"], jnp.float32) / a0
-        a2 = jnp.asarray(params["a2"], jnp.float32) / a0
-        b0 = jnp.asarray(params["b0"], jnp.float32) / a0
-        b1 = jnp.asarray(params["b1"], jnp.float32) / a0
-        b2 = jnp.asarray(params["b2"], jnp.float32) / a0
+        # f32 division by a0 as in regenerate_filter (biquad.rs:64-71).
+        # With concrete sliders (the normal case) the division happens in
+        # NumPy f32 (identical IEEE rounding) so biquad_df1 receives
+        # concrete coefficients and builds its impulse-response/Toeplitz
+        # constants at trace time; traced (fitted) params keep jnp.
+        import jax
+        raw = [params[k] for k in ("a0", "a1", "a2", "b0", "b1", "b2")]
+        if any(isinstance(v, jax.core.Tracer) for v in raw):
+            a0 = jnp.asarray(raw[0], jnp.float32)
+            a1, a2, b0, b1, b2 = (jnp.asarray(v, jnp.float32) / a0
+                                  for v in raw[1:])
+        else:
+            import numpy as np
+            a0 = np.float32(raw[0])
+            a1, a2, b0, b1, b2 = (np.float32(np.float32(v) / a0)
+                                  for v in raw[1:])
         y, (x1, x2, y1, y2) = biquad_df1(
             inputs["in"], a1, a2, b0, b1, b2,
             (state["x1"], state["x2"], state["y1"], state["y2"]))

@@ -62,6 +62,14 @@ def feedback_comb(x, decay, delay: int, history=None):
     # y = x + t) out of LLVM's reach -- FMA contraction is the only thing
     # standing between this comb and bitwise parity
     unfused = get_policy().sequential_recurrences
+    import numpy as _np
+    if (associative and _np.ndim(decay) == 0
+            and not isinstance(decay, jax.core.Tracer)):
+        # concrete decay (the normal case): bypass the jit wrapper so the
+        # blocked solver's Toeplitz powers are trace-time constants (see
+        # ops/scan.first_order_affine)
+        return _feedback_comb_impl(x, float(decay), history, D,
+                                   associative, unfused)
     return _feedback_comb_jit(x, jnp.asarray(decay, f32), history, D,
                               associative, unfused)
 
@@ -69,6 +77,11 @@ def feedback_comb(x, decay, delay: int, history=None):
 @functools.partial(jax.jit, static_argnums=(3, 4, 5), inline=True)
 def _feedback_comb_jit(x, decay, history, D: int, associative: bool,
                        unfused: bool):
+    return _feedback_comb_impl(x, decay, history, D, associative, unfused)
+
+
+def _feedback_comb_impl(x, decay, history, D: int, associative: bool,
+                        unfused: bool):
     f32 = jnp.float32
     T = x.shape[-1]
     batch = x.shape[:-1]
@@ -140,12 +153,25 @@ def _comb_chunks_blocked(xc, decay, history, G: int = 128):
     xp = jnp.pad(xc, [(0, pad)] + [(0, 0)] * (xc.ndim - 1))
     Xg = xp.reshape(KG, G, *xc.shape[1:])                  # [KG, G, ..., D]
 
-    g = jnp.arange(G)
-    pows = jnp.concatenate([jnp.ones((1,), f32),
-                            jnp.cumprod(jnp.full((G,), decay, f32))])
-    # LtG[i, j] = decay^(i-j) for i >= j (column orientation)
-    LtG = jnp.where(g[:, None] >= g[None, :],
-                    pows[jnp.clip(g[:, None] - g[None, :], 0, G)], 0.0)
+    import numpy as np
+    if isinstance(decay, (int, float, np.floating)):
+        # concrete decay: powers/Toeplitz as trace-time constants
+        g = np.arange(G)
+        pows_np = np.concatenate(
+            [np.ones(1, np.float32),
+             np.cumprod(np.full(G, decay, np.float32), dtype=np.float32)])
+        LtG = jnp.asarray(np.where(
+            g[:, None] >= g[None, :],
+            pows_np[np.clip(g[:, None] - g[None, :], 0, G)], 0.0
+        ).astype(np.float32))
+        pows = jnp.asarray(pows_np)
+    else:
+        g = jnp.arange(G)
+        pows = jnp.concatenate([jnp.ones((1,), f32),
+                                jnp.cumprod(jnp.full((G,), decay, f32))])
+        # LtG[i, j] = decay^(i-j) for i >= j (column orientation)
+        LtG = jnp.where(g[:, None] >= g[None, :],
+                        pows[jnp.clip(g[:, None] - g[None, :], 0, G)], 0.0)
 
     z = jnp.einsum("ij,kj...->ki...", LtG, Xg,
                    preferred_element_type=f32,

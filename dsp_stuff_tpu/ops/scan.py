@@ -261,8 +261,20 @@ def biquad_df1(x, a1, a2, b0, b1, b2, state=None):
         state = (z, z, z, z)
     state = tuple(jnp.broadcast_to(jnp.asarray(s, jnp.float32), x.shape[:-1])
                   for s in state)
-    coeffs = tuple(jnp.asarray(c, jnp.float32) for c in (a1, a2, b0, b1, b2))
     pol = get_policy()
+    cvals = (a1, a2, b0, b1, b2)
+    if (not pol.sequential_recurrences
+            and pol.scan_internal_dtype == "float32"
+            and x.shape[-1] >= 2
+            and all(np.ndim(c) == 0 and not isinstance(c, jax.core.Tracer)
+                    for c in cvals)):
+        # concrete coefficients (the normal case): the blocked path builds
+        # its impulse-response/Toeplitz/boundary constants in NumPy at
+        # trace time — traced, they are per-call associative scans that
+        # XLA cannot fold or hoist (see first_order_affine)
+        cf = tuple(np.float32(c) for c in cvals)
+        return _biquad_blocked(x, *cf, state)
+    coeffs = tuple(jnp.asarray(c, jnp.float32) for c in cvals)
     return _biquad_jit(x, coeffs, state, pol.scan_internal_dtype,
                        pol.sequential_recurrences)
 
@@ -312,7 +324,7 @@ def _biquad_jit(x, coeffs, state, internal_dtype, sequential):
     return y, new_state
 
 
-def _vec2_recurrence(M, w, C2: int = 128):
+def _vec2_recurrence(M, w, C2: int = 128, M_np=None):
     """s_k = M s_{k-1} + w_k with constant [2,2] M, s_{-1} = 0, w [..., K, 2].
 
     Same blocked scheme as the scalar case, on 2-vectors: within a chunk
@@ -320,6 +332,8 @@ def _vec2_recurrence(M, w, C2: int = 128):
     power tensor  Lt2[j, i] = M^(i-j)  (a [C2, C2, 2, 2] constant), chunk
     carries recurse.  A K~22k associative scan of 2x2 matmuls was the
     last remaining while-loop in the compiled chain (~0.4 ms/render).
+    ``M_np`` (a NumPy [2,2] mirror of M) makes the power tensors
+    trace-time constants.
     """
     f32 = jnp.float32
     K = w.shape[-2]
@@ -343,19 +357,36 @@ def _vec2_recurrence(M, w, C2: int = 128):
     wp = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, pad), (0, 0)])
     W = wp.reshape(*w.shape[:-2], KG, C2, 2)
 
-    # M^0..M^C2 by associative scan over log C2 levels (tiny)
-    Mb = jnp.broadcast_to(M, (C2, 2, 2))
+    if M_np is not None:
+        # M^0..M^C2 as trace-time NumPy constants (f64 chain, cast once)
+        Mpow_np = np.empty((C2 + 1, 2, 2), np.float64)
+        Mpow_np[0] = np.eye(2)
+        M64 = M_np.astype(np.float64)
+        for t in range(1, C2 + 1):
+            Mpow_np[t] = M64 @ Mpow_np[t - 1]
+        Mpow_np = Mpow_np.astype(np.float32)
+        i = np.arange(C2)
+        Lt2 = jnp.asarray(np.where(
+            (i[:, None] <= i[None, :])[..., None, None],
+            Mpow_np[np.clip(i[None, :] - i[:, None], 0, C2)], 0.0
+        ).astype(np.float32))
+        Mpow = jnp.asarray(Mpow_np)
+        MC2_np = Mpow_np[C2]
+    else:
+        # M^0..M^C2 by associative scan over log C2 levels (tiny)
+        Mb = jnp.broadcast_to(M, (C2, 2, 2))
 
-    def mcomb(l, r):
-        return jnp.einsum("...ij,...jk->...ik", r, l,
-                          preferred_element_type=f32,
-                          precision=jax.lax.Precision.HIGHEST)
+        def mcomb(l, r):
+            return jnp.einsum("...ij,...jk->...ik", r, l,
+                              preferred_element_type=f32,
+                              precision=jax.lax.Precision.HIGHEST)
 
-    Mpow = jnp.concatenate([jnp.eye(2, dtype=f32)[None],
-                            jax.lax.associative_scan(mcomb, Mb, axis=0)])
-    i = jnp.arange(C2)
-    Lt2 = jnp.where((i[:, None] <= i[None, :])[..., None, None],
-                    Mpow[jnp.clip(i[None, :] - i[:, None], 0, C2)], 0.0)
+        Mpow = jnp.concatenate([jnp.eye(2, dtype=f32)[None],
+                                jax.lax.associative_scan(mcomb, Mb, axis=0)])
+        MC2_np = None
+        i = jnp.arange(C2)
+        Lt2 = jnp.where((i[:, None] <= i[None, :])[..., None, None],
+                        Mpow[jnp.clip(i[None, :] - i[:, None], 0, C2)], 0.0)
 
     zs = jnp.einsum("jiab,...kjb->...kia", Lt2, W,
                     preferred_element_type=f32,
@@ -363,7 +394,7 @@ def _vec2_recurrence(M, w, C2: int = 128):
 
     # carries across super-chunks: e_m = M^C2 e_{m-1} + zs[m, -1]
     ends = zs[..., :, C2 - 1, :]                           # [..., KG, 2]
-    e = _vec2_recurrence(Mpow[C2], ends, C2)               # [..., KG, 2]
+    e = _vec2_recurrence(Mpow[C2], ends, C2, M_np=MC2_np)  # [..., KG, 2]
     zero = jnp.zeros_like(e[..., :1, :])
     carry_in = jnp.concatenate([zero, e[..., :-1, :]], axis=-2)
     # fold: s[m, i] = zs[m, i] + M^(i+1) carry_in[m]
@@ -400,48 +431,75 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     x1, x2, y1, y2 = state
     T = x.shape[-1]
     batch = x.shape[:-1]
+    concrete = all(isinstance(c, (int, float, np.floating))
+                   for c in (a1, a2, b0, b1, b2))
 
     xp = jnp.concatenate([x2[..., None], x1[..., None], x], axis=-1)
     f = b0 * xp[..., 2:] + b1 * xp[..., 1:-1] + b2 * xp[..., :-2]
 
-    # truncated impulse response h[0..C] of y[t] = -a1 y[t-1] - a2 y[t-2],
-    # via an associative scan over companion-matrix powers (a C-step
-    # sequential lax.scan here measured ~430 us/render on v5e -- the
-    # whole rest of the op costs about that)
-    A1 = jnp.stack([jnp.stack([-a1, -a2]),
-                    jnp.asarray([1.0, 0.0], f32)])         # [2, 2]
-    Ab = jnp.broadcast_to(A1, (C, 2, 2))
+    # truncated impulse response h[0..C] of y[t] = -a1 y[t-1] - a2 y[t-2].
+    # Concrete coefficients: NumPy f64 recurrence, cast once -- a
+    # trace-time constant.  Traced: associative scan over companion-matrix
+    # powers (a C-step sequential lax.scan here measured ~430 us/render).
+    if concrete:
+        h64 = np.empty(C + 1, np.float64)
+        h64[0] = 1.0
+        hm1, hm2 = 1.0, 0.0
+        for t in range(1, C + 1):
+            cur = -float(a1) * hm1 - float(a2) * hm2
+            h64[t] = cur
+            hm2, hm1 = hm1, cur
+        h_np = h64.astype(np.float32)
+        h = jnp.asarray(h_np)
+    else:
+        A1 = jnp.stack([jnp.stack([-a1, -a2]),
+                        jnp.asarray([1.0, 0.0], f32)])     # [2, 2]
+        Ab = jnp.broadcast_to(A1, (C, 2, 2))
 
-    def h_combine(l, r):
-        return jnp.einsum("...ij,...jk->...ik", r, l,
-                          preferred_element_type=f32,
-                          precision=jax.lax.Precision.HIGHEST)
+        def h_combine(l, r):
+            return jnp.einsum("...ij,...jk->...ik", r, l,
+                              preferred_element_type=f32,
+                              precision=jax.lax.Precision.HIGHEST)
 
-    Apow = jax.lax.associative_scan(h_combine, Ab, axis=0)  # A^1..A^C
-    # h[t] = (A^t)[0, 0] applied to h-state [h0, h_-1] = [1, 0]
-    h = jnp.concatenate([jnp.ones((1,), f32), Apow[:, 0, 0]])   # [C+1]
+        Apow = jax.lax.associative_scan(h_combine, Ab, axis=0)  # A^1..A^C
+        # h[t] = (A^t)[0, 0] applied to h-state [h0, h_-1] = [1, 0]
+        h = jnp.concatenate([jnp.ones((1,), f32), Apow[:, 0, 0]])   # [C+1]
 
     K = -(-T // C)
     pad = K * C - T
     fp = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(0, pad)])
     F = fp.reshape(*batch, K, C)
 
-    i = jnp.arange(C)
-    Lt = jnp.where(i[:, None] <= i[None, :],
-                   h[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
+    if concrete:
+        i = np.arange(C)
+        Lt = jnp.asarray(np.where(
+            i[:, None] <= i[None, :],
+            h_np[np.clip(i[None, :] - i[:, None], 0, C)], 0.0
+        ).astype(np.float32))
+    else:
+        i = jnp.arange(C)
+        Lt = jnp.where(i[:, None] <= i[None, :],
+                       h[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
     z = jnp.einsum("...kc,cd->...kd", F, Lt,
                    preferred_element_type=f32,
                    precision=jax.lax.Precision.HIGHEST)    # [..., K, C]
 
     # boundary-state recurrence s_k = M s_{k-1} + w_k over K chunks
-    M = jnp.stack([jnp.stack([h[C], -a2 * h[C - 1]]),
-                   jnp.stack([h[C - 1], -a2 * h[C - 2]])])   # [2, 2]
+    if concrete:
+        M_np = np.asarray(
+            [[h64[C], -float(a2) * h64[C - 1]],
+             [h64[C - 1], -float(a2) * h64[C - 2]]], np.float32)
+        M = jnp.asarray(M_np)
+    else:
+        M_np = None
+        M = jnp.stack([jnp.stack([h[C], -a2 * h[C - 1]]),
+                       jnp.stack([h[C - 1], -a2 * h[C - 2]])])   # [2, 2]
     w = jnp.stack([z[..., :, C - 1], z[..., :, C - 2]], axis=-1)  # [..., K, 2]
     s0 = jnp.stack([jnp.broadcast_to(jnp.asarray(y1, f32), batch),
                     jnp.broadcast_to(jnp.asarray(y2, f32), batch)],
                    axis=-1)                                # [..., 2]
     w = w.at[..., 0, :].add(jnp.einsum("ij,...j->...i", M, s0))
-    s = _vec2_recurrence(M, w)
+    s = _vec2_recurrence(M, w, M_np=M_np)
     # carry INTO chunk k is s_{k-1} (s0 for k = 0)
     s_in = jnp.concatenate([s0[..., None, :], s[..., :-1, :]], axis=-2)
 
