@@ -4,6 +4,8 @@ import json
 
 import numpy as np
 import pytest
+import jax
+import jax.numpy as jnp
 
 import dsp_stuff_tpu as dst
 import oracle
@@ -503,3 +505,64 @@ def test_muff_renders_and_responds_to_params():
         assert not np.allclose(base, other)
     # level=1.0 doubles level=0.5's output exactly (output-stage linearity)
     np.testing.assert_allclose(loud, base * 2.0, rtol=1e-5, atol=1e-7)
+
+
+def test_compiled_fast_graph_builds_constants_at_trace_time():
+    """Guard against the traced-constant regression class: with concrete
+    slider params (the normal case), the compiled fast-policy program must
+    not rebuild recurrence constants on device -- no cumprod (Toeplitz
+    powers), and no associative-scan iota ladders from the biquad's
+    impulse response.  These cost ~15 us per feedback block when XLA can
+    neither fold nor hoist them (fixed round 2; see ops/scan.py)."""
+    import json as _json
+    from dsp_stuff_tpu.utils import precision
+    g = dst.Graph()
+    inp = g.add("input")
+    ad = g.add("add")
+    rv = g.add("reverb", seconds=0.05, decay=0.5)
+    lp = g.add("low_pass", ratio=0.4)
+    fb = g.add("gain", level=0.45)
+    bq = g.add("biquad", a0=1.0, a1=-0.2, a2=0.1, b0=0.8, b1=0.1, b2=0.0)
+    out = g.add("output")
+    g.connect(inp, "out", ad, "a")
+    g.connect(ad, "out", rv, "in")
+    g.connect(rv, "out", lp, "in")
+    g.connect(lp, "out", fb, "in")
+    g.connect(fb, "out", ad, "b")          # feedback cycle
+    g.connect(rv, "out", bq, "in")
+    g.connect(bq, "out", out, "in")
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        x = jnp.zeros(1280, jnp.float32)
+        jaxpr = str(jax.make_jaxpr(lambda s, e: cg.fn(s, e, None))(
+            cg.init_state(), {str(inp.id): x}))
+    assert "cumprod" not in jaxpr, "Toeplitz powers rebuilt on device"
+
+
+def test_fitted_params_still_trace():
+    """The concrete-constant fast paths must not break traced (fitted)
+    coefficients: rendering with a params override pytree still works and
+    tracks the override value."""
+    from dsp_stuff_tpu.utils import precision
+    g = dst.Graph()
+    inp = g.add("input")
+    lp = g.add("low_pass", ratio=0.3)
+    bq = g.add("biquad", a0=1.0, a1=-0.2, a2=0.0, b0=0.8, b1=0.0, b2=0.0)
+    out = g.add("output")
+    g.chain(inp, lp, bq, out)
+    x = np.random.default_rng(0).standard_normal(512).astype(np.float32) * 0.3
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        p = cg.init_params()
+        p[str(lp.id)]["ratio"] = jnp.float32(0.7)        # traced override
+        a, _, _ = cg.render({str(inp.id): x}, params=p)
+        g2 = dst.Graph()
+        i2 = g2.add("input")
+        l2 = g2.add("low_pass", ratio=0.7)
+        b2 = g2.add("biquad", a0=1.0, a1=-0.2, a2=0.0, b0=0.8, b1=0.0,
+                    b2=0.0)
+        o2 = g2.add("output")
+        g2.chain(i2, l2, b2, o2)
+        want, _, _ = dst.render(g2, {str(i2.id): x})
+    np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
