@@ -54,6 +54,24 @@ def _use_pallas() -> bool:
     return _up()
 
 
+def _pallas_chunked_default() -> bool:
+    """The chunk-parallel Pallas envelope is DEFAULT-ON on TPU backends
+    (unlike the other Mosaic paths): it is measured bit-identical to the
+    XLA chunked scan on-chip, ~2x its non-floor time, and differentiable
+    through the envelope's custom_vjp.  DST_PALLAS=0 disables, =1 forces
+    (any backend's compiled path; tests use interpret mode directly)."""
+    import os
+    v = os.environ.get("DST_PALLAS")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 # Chunk length for the fast-policy chunk-parallel path.  Convergence of the
 # guessed chunk starts is g^CHUNK with g = exp(-1/frames); at the reference's
 # slider maximum (1000 frames, envelope.rs attack/release range) that is
@@ -120,7 +138,7 @@ def _fast_fwd_batched(x, atk, rel, env0):
         # the Pallas chunked kernel pads batch to 128 lanes and chunks to
         # 8 sublanes -- for small B that stages up to ~100x padding
         # through HBM; only worth it when the lanes are mostly real
-        if _use_pallas() and B >= 64:
+        if _pallas_chunked_default() and B >= 64:
             from dsp_stuff_tpu.ops.pallas_envelope import (
                 peak_envelope_pallas_chunked)
             return peak_envelope_pallas_chunked(x, atk, rel, env0,
