@@ -65,13 +65,20 @@ def feedback_comb(x, decay, delay: int, history=None):
     import numpy as _np
     if (associative and _np.ndim(decay) == 0
             and not isinstance(decay, jax.core.Tracer)):
-        # concrete decay (the normal case): bypass the jit wrapper so the
-        # blocked solver's Toeplitz powers are trace-time constants (see
-        # ops/scan.first_order_affine)
-        return _feedback_comb_impl(x, float(decay), history, D,
-                                   associative, unfused)
+        # static (hashable) decay (the normal case): the blocked solver's
+        # Toeplitz powers are trace-time constants (see
+        # ops/scan.first_order_affine) and standalone eager calls stay one
+        # fused dispatch
+        return _feedback_comb_static(x, float(decay), history, D,
+                                     associative, unfused)
     return _feedback_comb_jit(x, jnp.asarray(decay, f32), history, D,
                               associative, unfused)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5), inline=True)
+def _feedback_comb_static(x, decay: float, history, D: int,
+                          associative: bool, unfused: bool):
+    return _feedback_comb_impl(x, decay, history, D, associative, unfused)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5), inline=True)

@@ -58,18 +58,12 @@ def _pallas_chunked_default() -> bool:
     """The chunk-parallel Pallas envelope is DEFAULT-ON on TPU backends
     (unlike the other Mosaic paths): it is measured bit-identical to the
     XLA chunked scan on-chip, ~2x its non-floor time, and differentiable
-    through the envelope's custom_vjp.  DST_PALLAS=0 disables, =1 forces
-    (any backend's compiled path; tests use interpret mode directly)."""
+    through the envelope's custom_vjp.  DST_PALLAS=0 disables it; the
+    platform gate always applies (a compiled Mosaic kernel cannot run on
+    the CPU backend -- tests exercise it via interpret mode)."""
     import os
-    v = os.environ.get("DST_PALLAS")
-    if v == "0":
-        return False
-    if v == "1":
-        return True
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    from dsp_stuff_tpu.ops.scan import _tpu_backend
+    return os.environ.get("DST_PALLAS") != "0" and _tpu_backend()
 
 
 # Chunk length for the fast-policy chunk-parallel path.  Convergence of the

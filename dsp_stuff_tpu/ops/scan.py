@@ -53,13 +53,14 @@ def first_order_affine(a, b, y0):
     per-level dispatch; inside compile_graph's jit this simply inlines.
 
     When ``a`` is a CONCRETE scalar (the normal case: slider params are
-    Python floats) the blocked path is entered directly, bypassing the
-    jit wrapper: the wrapper abstracts ``a`` into a tracer, which turns
-    the Toeplitz tap matrix into per-call cumprod/where ops that XLA
-    neither constant-folds (cumprod lowers through a while loop) nor
-    hoists out of an enclosing feedback-cycle scan — measured ~15 us per
-    128-sample block, 3x the rest of a cycle body.  Concrete ``a`` builds
-    the matrices in NumPy as trace-time constants instead.
+    Python floats) it enters the blocked path as a STATIC (hashable) jit
+    argument: abstracted into a tracer, the Toeplitz tap matrix becomes
+    per-call cumprod/where ops that XLA neither constant-folds (cumprod
+    lowers through a while loop) nor hoists out of an enclosing
+    feedback-cycle scan — measured ~15 us per 128-sample block, 3x the
+    rest of a cycle body.  Static ``a`` builds the matrices in NumPy as
+    trace-time constants while standalone eager calls stay one fused
+    dispatch.
     """
     pol = get_policy()
     b_arr = jnp.asarray(b, jnp.float32)
@@ -68,8 +69,10 @@ def first_order_affine(a, b, y0):
             and np.ndim(a) == 0 and not isinstance(a, jax.core.Tracer)
             and b_arr.shape[-1] >= 2
             and not (_use_pallas() and b_arr.shape[-1] >= 1024)):
-        return _first_order_blocked(float(a), b_arr,
-                                    jnp.asarray(y0, jnp.float32))
+        # static (hashable) coefficient: constants fold at trace time AND
+        # standalone eager calls stay one fused dispatch
+        return _first_order_blocked_static(float(a), b_arr,
+                                           jnp.asarray(y0, jnp.float32))
     return _first_order_jit(jnp.asarray(a, jnp.float32),
                             b_arr,
                             jnp.asarray(y0, jnp.float32),
@@ -77,17 +80,25 @@ def first_order_affine(a, b, y0):
                             pol.sequential_recurrences)
 
 
+@functools.partial(jax.jit, static_argnums=(0,), inline=True)
+def _first_order_blocked_static(a: float, b, y0):
+    return _first_order_blocked(a, b, y0)
+
+
+def _tpu_backend() -> bool:
+    """True when the default backend can run compiled Mosaic kernels."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _use_pallas() -> bool:
     """Route constant-a first-order recurrences through the Pallas kernel
     (ops/pallas_scan.py) — opt-in via DST_PALLAS=1; it is a single-HBM-pass
     variant of the same blocked algorithm, TPU backends only."""
     import os
-    if os.environ.get("DST_PALLAS") != "1":
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    return os.environ.get("DST_PALLAS") == "1" and _tpu_backend()
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4), inline=True)
@@ -271,12 +282,22 @@ def biquad_df1(x, a1, a2, b0, b1, b2, state=None):
         # concrete coefficients (the normal case): the blocked path builds
         # its impulse-response/Toeplitz/boundary constants in NumPy at
         # trace time — traced, they are per-call associative scans that
-        # XLA cannot fold or hoist (see first_order_affine)
-        cf = tuple(np.float32(c) for c in cvals)
-        return _biquad_blocked(x, *cf, state)
+        # XLA cannot fold or hoist (see first_order_affine).  NOTE: the
+        # concrete constants come from an f64 recurrence cast once, the
+        # traced path from f32 HIGHEST matrix chains — same fast-policy
+        # contract, ~1e-5-relative apart; fit-time (traced) renders and
+        # the baked re-render of the fitted values differ at that level.
+        cf = tuple(float(np.float32(c)) for c in cvals)
+        return _biquad_blocked_static(x, cf, state)
     coeffs = tuple(jnp.asarray(c, jnp.float32) for c in cvals)
     return _biquad_jit(x, coeffs, state, pol.scan_internal_dtype,
                        pol.sequential_recurrences)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), inline=True)
+def _biquad_blocked_static(x, cf: tuple, state):
+    a1, a2, b0, b1, b2 = (np.float32(c) for c in cf)
+    return _biquad_blocked(x, a1, a2, b0, b1, b2, state)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4), inline=True)

@@ -537,3 +537,28 @@ def test_reverb_block_then_seq_paths_agree():
     ys.append(np.asarray(outs["out"]))
     got = np.concatenate(ys)
     assert_dbfs(got, want, -120.0)
+
+
+def test_biquad_concrete_coeffs_dispatch_to_static_path(monkeypatch):
+    """Concrete slider coefficients must reach the blocked biquad as
+    Python/NumPy scalars (trace-time-constant impulse/Toeplitz tensors).
+    The jaxpr-level guard (test_graph) can't see this: the traced rebuild
+    uses associative scans, not cumprod.  Unique shape forces a fresh
+    trace through the jit cache."""
+    import jax
+    import jax.numpy as jnp
+    from dsp_stuff_tpu.ops import scan as scan_mod
+    seen = {}
+    orig = scan_mod._biquad_blocked
+
+    def spy(x, a1, a2, b0, b1, b2, state, C=128):
+        seen["concrete"] = all(isinstance(c, (int, float, np.floating))
+                               for c in (a1, a2, b0, b1, b2))
+        return orig(x, a1, a2, b0, b1, b2, state, C)
+
+    monkeypatch.setattr(scan_mod, "_biquad_blocked", spy)
+    with precision.policy("fast"):
+        x = jnp.zeros(131 * 3)          # odd length: fresh jit trace
+        jax.make_jaxpr(lambda x: scan_mod.biquad_df1(
+            x, -0.2, 0.1, 0.8, 0.1, 0.0))(x)
+    assert seen.get("concrete") is True
