@@ -90,21 +90,34 @@ def _avg(sources: list, T: int):
     if n == 0:
         return jnp.zeros((T,), jnp.float32), 0
     from dsp_stuff_tpu.utils import precision
-    exact = precision.get_policy().sequential_recurrences
+    pol = precision.get_policy()
     acc = sources[0]
     for s in sources[1:]:
         acc = acc + s
-    if exact:
+    if pol.name != "fast":
+        # parity AND exact take the true f32 divide: the recip-mul rewrite
+        # costs 1 ulp per hop, and a phase-sensitive modulation target
+        # (chorus rate) amplifies a single fan-in ulp ~1000x past the -90
+        # parity budget (found by the random-graph fuzz)
         return precision.div_ieee(acc, _fanin_divisor(n)), n
     return acc / _fanin_divisor(n), n
 
 
 def _map_mod(sig, p: ParamSpec):
     """Modulation-signal -> slider-range mapping (lib.rs:140-148):
-    y=(x+1)/2; z=clamp(y,0,1); lo + (hi-lo)*z, all f32."""
+    y=(x+1)/2; z=clamp(y,0,1); lo + (hi-lo)*z, all f32.
+
+    Under parity/exact the final multiply is FMA-fenced: a 1-ulp shift in
+    a mapped CHORUS RATE moves the LFO phase enough to shift the tap
+    trajectory ~1e-5 samples — past the -90 dBFS budget (found by the
+    random-graph fuzz; same class as the ops/modfx.py trajectory fences)."""
     y = (sig + np.float32(1.0)) / np.float32(2.0)
     z = jnp.clip(y, 0.0, 1.0)
-    return np.float32(p.lo) + np.float32(np.float32(p.hi) - np.float32(p.lo)) * z
+    span = np.float32(np.float32(p.hi) - np.float32(p.lo))
+    from dsp_stuff_tpu.utils import precision
+    if precision.get_policy().name != "fast":
+        return np.float32(p.lo) + precision.mul_unfused(span, z)
+    return np.float32(p.lo) + span * z
 
 
 def _call(impl, params, state, inputs, T, block_size):

@@ -112,7 +112,23 @@ def oscillator(mode: str, amplitude, frequency, T: int,
     from dsp_stuff_tpu.utils.precision import exact_mul
     phase = clocks + totals
     if mode == "Sine":
-        y = exact_mul(jnp.sin(phase * TAU), amp)
+        # sin precision by policy (the oracle's <=1-ulp convention, like
+        # the chorus LFO): a native f32 sin differs from the f64-rounded
+        # value by ~1 ulp, which a downstream modulation target with high
+        # phase sensitivity (a chorus rate port) amplifies past the -90
+        # parity budget.  fast keeps the cheap f32 sin.
+        from dsp_stuff_tpu.utils.precision import get_policy, mul_unfused
+        arg = phase * TAU
+        if get_policy().name == "fast":
+            y = exact_mul(jnp.sin(arg), amp)
+        else:
+            # mul_unfused, not a bare mul: the simplifier would sink the
+            # f32 convert through it (convert(sin64)*amp ->
+            # convert(sin64*amp), one rounding instead of two) -- a 1-ulp
+            # LFO shift that chorus-rate modulation amplifies ~900x (same
+            # rewrite as the chorus trajectory, ops/modfx.py)
+            s = jnp.sin(arg.astype(jnp.float64)).astype(f32)
+            y = mul_unfused(s, amp)
     elif mode == "Triangle":
         y = exact_mul(2.0 * jnp.mod(phase, 1.0) - 1.0, amp)
     elif mode == "Square":

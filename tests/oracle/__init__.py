@@ -261,8 +261,12 @@ def signal_gen(mode, amplitude, frequency, T, clock=F32(0.0), block=BUF):
             step = F32(frequency[i] / sr)
             total = F32(total + step)
             if mode == "Sine":
-                out[i] = F32(np.sin(F32(F32(clock + total) * F32(2 * np.pi)))
-                             * amplitude[i])
+                # f64-rounded sin (the <=1-ulp transcendental convention,
+                # see _t): numpy's own f32 sin is a different 1-ulp-class
+                # value than XLA's, and chorus-rate modulation amplifies
+                # that ulp past the graph parity budget
+                s = _t(np.sin, F32(F32(clock + total) * F32(2 * np.pi)))
+                out[i] = F32(s * amplitude[i])
             elif mode == "Triangle":
                 out[i] = F32((F32(2.0) * F32(np.fmod(F32(clock + total), F32(1.0)))
                               - F32(1.0)) * amplitude[i])

@@ -1,0 +1,127 @@
+"""Randomized graph-level parity fuzz: arbitrary topologies (fan-in,
+fan-out, feedback cycles, modulation wiring) rendered under the parity
+policy must match the independent block-wise NumPy oracle interpreter
+(tests/oracle/graph.py) to <= -90 dBFS.
+
+This is the compiler-semantics safety net the per-node and per-config
+tests can't give: it exercises SCC ordering, cycle block latency, fan-in
+averaging order, modulation mapping and state chaining on topologies
+nobody hand-wrote."""
+
+import numpy as np
+import pytest
+
+import dsp_stuff_tpu as dst
+from dsp_stuff_tpu.ids import IdSpace
+from dsp_stuff_tpu.utils import precision
+
+import oracle
+from oracle import graph as oracle_graph
+
+T = 1536
+
+
+# (type, params) factories with stable, non-degenerate settings
+def _mid_pool(rng):
+    return [
+        ("gain", {"level": float(rng.uniform(0.3, 1.8))}),
+        ("add", {}),
+        ("mix", {"ratio": float(rng.uniform(0.1, 0.9))}),
+        ("distort", {"mode": str(rng.choice(
+            ["HardClip", "SoftClip", "Tanh", "RecipSoftClip", "Sin",
+             "Atan", "Square", "Chebyshev4"])),
+            "level": float(rng.uniform(0.5, 6.0))}),
+        ("overdrive", {"boost": float(rng.uniform(1.0, 8.0)),
+                       "drive": float(rng.uniform(0.2, 0.9)),
+                       "level": float(rng.uniform(0.3, 1.0))}),
+        ("chebyshev", {"level_pos": float(rng.uniform(0.5, 5.0)),
+                       "level_neg": float(rng.uniform(0.5, 5.0))}),
+        ("biquad", {"a0": 1.0, "a1": float(rng.uniform(-0.6, 0.0)),
+                    "a2": float(rng.uniform(0.0, 0.2)),
+                    "b0": float(rng.uniform(0.4, 1.0)),
+                    "b1": float(rng.uniform(-0.2, 0.2)), "b2": 0.0}),
+        ("low_pass", {"ratio": float(rng.uniform(0.1, 0.9))}),
+        ("high_pass", {"ratio": float(rng.uniform(0.05, 0.6))}),
+        ("envelope", {"attack": float(rng.uniform(1.0, 200.0)),
+                      "release": float(rng.uniform(5.0, 400.0))}),
+        ("reverb", {"seconds": float(rng.uniform(0.003, 0.012)),
+                    "decay": float(rng.uniform(0.2, 0.6))}),
+        ("fir", {"mode": "Balanced",
+                 "taps": [float(v) for v in
+                          rng.standard_normal(int(rng.integers(2, 24)))
+                          * 0.3]}),
+        ("chorus", {"rate": float(rng.uniform(0.3, 4.0)),
+                    "depth": float(rng.uniform(0.001, 0.004)),
+                    "base": float(rng.uniform(0.004, 0.012)),
+                    "mix": float(rng.uniform(0.2, 0.8))}),
+        ("mux", {"in_port": str(rng.choice(["A", "B"]))}),
+        ("demux", {"out_port": str(rng.choice(["A", "B"]))}),
+    ]
+
+
+def _random_graph(seed):
+    rng = np.random.default_rng(seed)
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    nodes = [inp]
+    n_mid = int(rng.integers(3, 8))
+    pool = _mid_pool(rng)
+    for _ in range(n_mid):
+        t, params = pool[int(rng.integers(0, len(pool)))]
+        nodes.append(g.add(t, **params))
+    out = g.add("output")
+
+    # wire every middle node's audio inputs from random earlier outputs
+    for i, node in enumerate(nodes[1:], start=1):
+        for port in node.spec.inputs:
+            src = nodes[int(rng.integers(0, i))]
+            src_port = str(rng.choice(list(src.spec.outputs)))
+            g.connect(src, src_port, node, port)
+    last = nodes[-1]
+    g.connect(last, str(rng.choice(list(last.spec.outputs))), out, "in")
+
+    # occasional extra fan-in / fan-out
+    for _ in range(int(rng.integers(0, 3))):
+        a = nodes[int(rng.integers(1, len(nodes)))]
+        b = nodes[int(rng.integers(1, len(nodes)))]
+        if a is b or not a.spec.outputs or not b.spec.inputs:
+            continue
+        g.connect(a, str(rng.choice(list(a.spec.outputs))),
+                  b, str(rng.choice(list(b.spec.inputs))))
+
+    # occasionally close one feedback edge (later -> earlier), damped by
+    # routing through whatever gain-ish node exists; always legal — the
+    # compiler defines one-block latency for any back edge
+    if rng.random() < 0.6 and len(nodes) >= 3:
+        src = nodes[-1]
+        dst_n = nodes[int(rng.integers(1, len(nodes) - 1))]
+        if src.spec.outputs and dst_n.spec.inputs:
+            g.connect(src, str(rng.choice(list(src.spec.outputs))),
+                      dst_n, str(rng.choice(list(dst_n.spec.inputs))))
+
+    # occasionally modulate an as_input port from a slow sine
+    mod_targets = [(n, ps.name) for n in nodes[1:]
+                   for ps in n.spec.params
+                   if getattr(ps, "as_input", False)]
+    if mod_targets and rng.random() < 0.5:
+        lfo = g.add("signal_gen", mode="Sine",
+                    frequency=float(rng.uniform(0.3, 5.0)),
+                    amplitude=float(rng.uniform(0.2, 0.8)))
+        n, pname = mod_targets[int(rng.integers(0, len(mod_targets)))]
+        g.connect(lfo, "out", n, pname)
+    return g, inp.id, out.id
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 5, 8, 13, 21, 34, 55, 89,
+                                  144, 233, 377, 610, 987, 1597])
+def test_random_graph_parity_vs_oracle(seed):
+    g, inp_id, out_id = _random_graph(seed)
+    rng = np.random.default_rng(1000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    with precision.policy("parity"):
+        outs, _, _ = dst.render(g, {str(inp_id): x})
+    want = oracle_graph.evaluate(g, {inp_id: x}, T)[out_id]
+    got = np.asarray(outs)[0]
+    assert np.isfinite(want).all(), "oracle blew up — bad generator params"
+    db = oracle.max_err_dbfs(got, want)
+    assert db <= -90.0, f"seed {seed}: {db:.1f} dBFS"
