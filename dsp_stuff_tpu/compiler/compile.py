@@ -165,6 +165,10 @@ class CompiledGraph:
         path, ops/modfx.py)."""
         out = {}
         for nid_s, nst in sorted(state.items(), key=lambda kv: kv[0]):
+            if nid_s.startswith("__cycle__"):
+                # per-cycle back-edge blocks: per-stream signal state
+                out[nid_s] = jax.tree.map(on_batched, nst)
+                continue
             impl = self.graph.nodes[int(nid_s)].spec.impl
             shared = set(getattr(impl, "shared_state_keys", ()))
             if shared and isinstance(nst, dict):
@@ -296,6 +300,11 @@ def apply_knob_writeback(graph: Graph, aux) -> Graph:
     return graph
 
 
+def _cycle_key(comp) -> str:
+    """State key for a feedback SCC's carried previous-block outputs."""
+    return f"__cycle__{min(comp)}"
+
+
 def _active_nodes(graph: Graph) -> set[int]:
     """Nodes with at least one connected link (the reference never starts a
     node with zero connections, runtime.rs:661-668)."""
@@ -335,11 +344,24 @@ def compile_graph(graph: Graph, block_size: int = 128,
     sccs = condensation_topo_order(sorted(nodes), edges)
 
     def init_state():
-        return {
+        st = {
             str(nid): nodes[nid].spec.impl.init_state(nodes[nid].params,
                                                       block_size)
             for nid in nodes
         }
+        # per-cycle back-edge context: the defined semantic gives every
+        # intra-cycle edge from a not-yet-run member ONE BLOCK of delay --
+        # that previous block is real DSP state and must chain across
+        # segmented/streamed renders (zeros only at true t=0; found by the
+        # random-graph segmentation fuzz: resetting it glitched feedback
+        # graphs by -25 dBFS at every segment boundary)
+        for comp in sccs:
+            if len(comp) > 1 or any(l.src == l.dst == comp[0]
+                                    for l in graph.links):
+                st[_cycle_key(comp)] = {
+                    f"{nid}:{port}": jnp.zeros((block_size,), jnp.float32)
+                    for nid in comp for port in nodes[nid].spec.outputs}
+        return st
 
     def init_params():
         out = {}
@@ -557,16 +579,20 @@ def compile_graph(graph: Graph, block_size: int = 128,
             return (st, cur), {kp: cur[kp] for kp in emit_ports}
 
         st0 = {str(nid): state[str(nid)] for nid in order}
-        prev0 = {kp: jnp.zeros((B,), jnp.float32) for kp in member_ports}
+        ckey = _cycle_key(comp)
+        prev0 = {kp: state[ckey][f"{kp[0]}:{kp[1]}"] for kp in member_ports}
         # unrolling amortizes the XLA while-loop per-iteration overhead,
         # which dominated the feedback path (measured on the 16-node
         # benchmark graph at 128 streams: unroll 1/4/8/16 -> 2248/6476/
         # 9510/12398x real-time; 16 costs ~6 min of compile, so 8 is the
         # default sweet spot)
-        (st_f, _), ys = jax.lax.scan(body, (st0, prev0), (ext_feeds, ext_ins),
-                                     length=nb, unroll=min(cycle_unroll, nb))
+        (st_f, prev_f), ys = jax.lax.scan(body, (st0, prev0),
+                                          (ext_feeds, ext_ins),
+                                          length=nb,
+                                          unroll=min(cycle_unroll, nb))
         for nid in order:
             state[str(nid)] = st_f[str(nid)]
+        state[ckey] = {f"{kp[0]}:{kp[1]}": prev_f[kp] for kp in member_ports}
         for kp in emit_ports:
             blocks = ys[kp]                     # [nb, B]
             values[kp] = jnp.moveaxis(blocks, 0, -2).reshape(

@@ -125,3 +125,39 @@ def test_random_graph_parity_vs_oracle(seed):
     assert np.isfinite(want).all(), "oracle blew up — bad generator params"
     db = oracle.max_err_dbfs(got, want)
     assert db <= -90.0, f"seed {seed}: {db:.1f} dBFS"
+
+
+@pytest.mark.parametrize("seed", [2, 8, 21])
+def test_random_graph_batch_invariance(seed):
+    """Stream independence on arbitrary topologies: stream 0 of a batched
+    render equals the solo render (vmap invariance + lockstep shared
+    state), fast policy."""
+    g, inp_id, out_id = _random_graph(seed)
+    rng = np.random.default_rng(2000 + seed)
+    x = (rng.standard_normal((4, T)) * 0.25).astype(np.float32)
+    with precision.policy("fast"):
+        outs, _, _ = dst.render(g, {str(inp_id): x}, batch_shape=(4,))
+        solo, _, _ = dst.render(g, {str(inp_id): x[0]})
+    np.testing.assert_allclose(np.asarray(outs)[0], np.asarray(solo),
+                               rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("seed", [1, 5, 13])
+def test_random_graph_segmented_state_chaining(seed):
+    """Two chained half-renders must match the one-shot render on random
+    topologies — every node type's state carry at once (filters, rings,
+    FIR warm-up, oscillator clocks, chorus history, envelope carry).
+    Blocked lowerings legitimately reassociate differently when T
+    changes, so the bound is loose-ish but far below audibility."""
+    g, inp_id, out_id = _random_graph(seed)
+    rng = np.random.default_rng(3000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    half = T // 2
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        full, _, _ = cg.render({str(inp_id): x})
+        a, _, st = cg.render({str(inp_id): x[:half]})
+        b, _, _ = cg.render({str(inp_id): x[half:]}, state=st)
+    got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
+    db = oracle.max_err_dbfs(got, np.asarray(full)[0])
+    assert db <= -100.0, f"seed {seed}: {db:.1f} dBFS"

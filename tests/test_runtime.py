@@ -277,3 +277,30 @@ def test_stream_matches_offline_with_chorus():
               for i in range(0, T, 128)]
     streamed = np.concatenate([b[0] for b in blocks])
     np.testing.assert_allclose(streamed, offline[0], atol=2e-6)
+
+
+def test_stream_feedback_graph_matches_offline():
+    """Block-by-block streaming of a FEEDBACK graph must equal the
+    one-shot render: the cycle's back-edge previous-block context is DSP
+    state and must ride the carried state across process() calls
+    (regression: it was re-zeroed per render, glitching every block
+    boundary by ~-25 dBFS; found by the random-graph segmentation fuzz)."""
+    g = dst.Graph()
+    inp = g.add("input")
+    ad = g.add("add")
+    rv = g.add("reverb", seconds=0.005, decay=0.5)
+    gn = g.add("gain", level=0.4)
+    out = g.add("output")
+    g.connect(inp, "out", ad, "a")
+    g.connect(ad, "out", rv, "in")
+    g.connect(rv, "out", gn, "in")
+    g.connect(gn, "out", ad, "b")          # back edge
+    g.connect(rv, "out", out, "in")
+    T = 1536
+    x = (RNG.standard_normal(T) * 0.3).astype(np.float32)
+    offline, _, _ = dst.render(g, {str(inp.id): x})
+    sess = StreamSession(g, block_size=128)
+    blocks = [sess.process({str(inp.id): x[i:i + 128]})
+              for i in range(0, T, 128)]
+    streamed = np.concatenate([b[0] for b in blocks])
+    np.testing.assert_allclose(streamed, offline[0], rtol=0, atol=1e-6)
