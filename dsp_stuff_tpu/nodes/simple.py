@@ -54,9 +54,14 @@ class Mix:
     @staticmethod
     def process_seq(params, state, inputs):
         from dsp_stuff_tpu.utils.precision import exact_mul
-        r = params["ratio"]
+        # 1 - r must be an F32 subtraction: the reference reads the f32
+        # ratio atomic and subtracts in f32 (mix.rs:33-47).  With a
+        # concrete Python-float ratio, `1.0 - r` would compute in f64 and
+        # round differently for ~half of all ratios (1 ulp; caught by the
+        # exact-policy bitwise fuzz).
+        r = jnp.asarray(params["ratio"], jnp.float32)
         return {"out": exact_mul(inputs["b"], r)
-                + exact_mul(inputs["a"], 1.0 - r)}, state
+                + exact_mul(inputs["a"], jnp.float32(1.0) - r)}, state
 
 
 @register_node(

@@ -21,6 +21,34 @@ from oracle import graph as oracle_graph
 T = 1536
 
 
+# reassociation-free, transcendental-free types: the exact policy's
+# BITWISE claim holds for these (PARITY.md scope)
+def _exact_pool(rng):
+    return [
+        ("gain", {"level": float(rng.uniform(0.3, 1.8))}),
+        ("add", {}),
+        ("mix", {"ratio": float(rng.uniform(0.1, 0.9))}),
+        ("distort", {"mode": str(rng.choice(
+            ["HardClip", "SoftClip", "Square", "Chebyshev4",
+             "RecipSoftClip"])),
+            "level": float(rng.uniform(0.5, 6.0))}),
+        ("biquad", {"a0": 1.0, "a1": float(rng.uniform(-0.6, 0.0)),
+                    "a2": float(rng.uniform(0.0, 0.2)),
+                    "b0": float(rng.uniform(0.4, 1.0)),
+                    "b1": float(rng.uniform(-0.2, 0.2)), "b2": 0.0}),
+        ("low_pass", {"ratio": float(rng.uniform(0.1, 0.9))}),
+        ("high_pass", {"ratio": float(rng.uniform(0.05, 0.6))}),
+        ("reverb", {"seconds": float(rng.uniform(0.003, 0.012)),
+                    "decay": float(rng.uniform(0.2, 0.6))}),
+        ("fir", {"mode": "Balanced",
+                 "taps": [float(v) for v in
+                          rng.standard_normal(int(rng.integers(2, 24)))
+                          * 0.3]}),
+        ("mux", {"in_port": str(rng.choice(["A", "B"]))}),
+        ("demux", {"out_port": str(rng.choice(["A", "B"]))}),
+    ]
+
+
 # (type, params) factories with stable, non-degenerate settings
 def _mid_pool(rng):
     return [
@@ -59,13 +87,13 @@ def _mid_pool(rng):
     ]
 
 
-def _random_graph(seed):
+def _random_graph(seed, exact=False):
     rng = np.random.default_rng(seed)
     g = dst.Graph(IdSpace())
     inp = g.add("input")
     nodes = [inp]
     n_mid = int(rng.integers(3, 8))
-    pool = _mid_pool(rng)
+    pool = _exact_pool(rng) if exact else _mid_pool(rng)
     for _ in range(n_mid):
         t, params = pool[int(rng.integers(0, len(pool)))]
         nodes.append(g.add(t, **params))
@@ -99,10 +127,11 @@ def _random_graph(seed):
             g.connect(src, str(rng.choice(list(src.spec.outputs))),
                       dst_n, str(rng.choice(list(dst_n.spec.inputs))))
 
-    # occasionally modulate an as_input port from a slow sine
-    mod_targets = [(n, ps.name) for n in nodes[1:]
-                   for ps in n.spec.params
-                   if getattr(ps, "as_input", False)]
+    # occasionally modulate an as_input port from a slow sine (the sine
+    # LFO is transcendental -> skipped in exact-pool graphs)
+    mod_targets = [] if exact else [
+        (n, ps.name) for n in nodes[1:]
+        for ps in n.spec.params if getattr(ps, "as_input", False)]
     if mod_targets and rng.random() < 0.5:
         lfo = g.add("signal_gen", mode="Sine",
                     frequency=float(rng.uniform(0.3, 5.0)),
@@ -161,3 +190,19 @@ def test_random_graph_segmented_state_chaining(seed):
     got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
     db = oracle.max_err_dbfs(got, np.asarray(full)[0])
     assert db <= -100.0, f"seed {seed}: {db:.1f} dBFS"
+
+
+@pytest.mark.parametrize("seed", [4, 9, 16, 25, 36, 49, 64, 81, 100, 121, 169, 196])
+def test_random_graph_exact_bitwise(seed):
+    """The exact policy's BITWISE claim, fuzzed: random topologies over
+    the reassociation-free node pool (PARITY.md scope) must reproduce the
+    oracle interpreter bit for bit -- fan-in order, producer FMA fences,
+    IEEE divides, sequential recurrences, cycle latency, all at once."""
+    g, inp_id, out_id = _random_graph(seed, exact=True)
+    rng = np.random.default_rng(4000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    with precision.policy("exact"):
+        outs, _, _ = dst.render(g, {str(inp_id): x})
+    want = oracle_graph.evaluate(g, {inp_id: x}, T)[out_id]
+    np.testing.assert_array_equal(np.asarray(outs)[0], want,
+                                  err_msg=f"seed {seed}")
