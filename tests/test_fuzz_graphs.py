@@ -206,3 +206,22 @@ def test_random_graph_exact_bitwise(seed):
     want = oracle_graph.evaluate(g, {inp_id: x}, T)[out_id]
     np.testing.assert_array_equal(np.asarray(outs)[0], want,
                                   err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", [9, 25, 49])
+def test_random_graph_exact_segmented_bitwise(seed):
+    """Under the exact policy, state chaining is BITWISE: two half-renders
+    must equal the one-shot render bit for bit (sequential recurrences +
+    f64 FIR accumulate + ring/cycle context carry exactly)."""
+    g, inp_id, out_id = _random_graph(seed, exact=True)
+    rng = np.random.default_rng(5000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    half = T // 2
+    with precision.policy("exact"):
+        cg = dst.compile_graph(g)
+        full, _, _ = cg.render({str(inp_id): x})
+        a, _, st = cg.render({str(inp_id): x[:half]})
+        b, _, _ = cg.render({str(inp_id): x[half:]}, state=st)
+    got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
+    np.testing.assert_array_equal(got, np.asarray(full)[0],
+                                  err_msg=f"seed {seed}")
