@@ -63,8 +63,9 @@ def feedback_comb(x, decay, delay: int, history=None):
     # standing between this comb and bitwise parity
     unfused = get_policy().sequential_recurrences
     import numpy as _np
+    from dsp_stuff_tpu.ops.scan import _inside_trace
     if (associative and _np.ndim(decay) == 0
-            and not isinstance(decay, jax.core.Tracer)):
+            and not isinstance(decay, jax.core.Tracer) and _inside_trace()):
         # static (hashable) decay (the normal case): the blocked solver's
         # Toeplitz powers are trace-time constants (see
         # ops/scan.first_order_affine) and standalone eager calls stay one

@@ -122,12 +122,19 @@ def oscillator(mode: str, amplitude, frequency, T: int,
         if get_policy().name == "fast":
             y = exact_mul(jnp.sin(arg), amp)
         else:
+            # Range-reduce BEFORE the f64 sin: on the real chip f64 is
+            # emulated and its transcendental tails are broken for large
+            # arguments (CLAUDE.md; phase*TAU reaches ~340 at the 20 kHz
+            # slider max).  The exact f64 reduction changes the result by
+            # ~1e-13, far below the f32 rounding of the returned value.
             # mul_unfused, not a bare mul: the simplifier would sink the
             # f32 convert through it (convert(sin64)*amp ->
             # convert(sin64*amp), one rounding instead of two) -- a 1-ulp
             # LFO shift that chorus-rate modulation amplifies ~900x (same
             # rewrite as the chorus trajectory, ops/modfx.py)
-            s = jnp.sin(arg.astype(jnp.float64)).astype(f32)
+            a64 = arg.astype(jnp.float64)
+            a64 = a64 - (2.0 * np.pi) * jnp.round(a64 / (2.0 * np.pi))
+            s = jnp.sin(a64).astype(f32)
             y = mul_unfused(s, amp)
     elif mode == "Triangle":
         y = exact_mul(2.0 * jnp.mod(phase, 1.0) - 1.0, amp)

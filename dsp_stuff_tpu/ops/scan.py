@@ -67,10 +67,13 @@ def first_order_affine(a, b, y0):
     if (not pol.sequential_recurrences
             and pol.scan_internal_dtype == "float32"
             and np.ndim(a) == 0 and not isinstance(a, jax.core.Tracer)
+            and _inside_trace()
             and b_arr.shape[-1] >= 2
             and not (_use_pallas() and b_arr.shape[-1] >= 1024)):
-        # static (hashable) coefficient: constants fold at trace time AND
-        # standalone eager calls stay one fused dispatch
+        # static (hashable) coefficient INSIDE an enclosing trace (the
+        # compile_graph case): constants fold at trace time.  Eager
+        # standalone calls keep the traced-operand jit below -- one cache
+        # entry regardless of how many coefficient values a caller sweeps.
         return _first_order_blocked_static(float(a), b_arr,
                                            jnp.asarray(y0, jnp.float32))
     return _first_order_jit(jnp.asarray(a, jnp.float32),
@@ -78,6 +81,12 @@ def first_order_affine(a, b, y0):
                             jnp.asarray(y0, jnp.float32),
                             pol.scan_internal_dtype,
                             pol.sequential_recurrences)
+
+
+def _inside_trace() -> bool:
+    """True when called under an enclosing jax trace (jit/vmap/grad)."""
+    from jax._src import core as _core
+    return not _core.trace_state_clean()
 
 
 @functools.partial(jax.jit, static_argnums=(0,), inline=True)
@@ -276,7 +285,7 @@ def biquad_df1(x, a1, a2, b0, b1, b2, state=None):
     cvals = (a1, a2, b0, b1, b2)
     if (not pol.sequential_recurrences
             and pol.scan_internal_dtype == "float32"
-            and x.shape[-1] >= 2
+            and x.shape[-1] >= 2 and _inside_trace()
             and all(np.ndim(c) == 0 and not isinstance(c, jax.core.Tracer)
                     for c in cvals)):
         # concrete coefficients (the normal case): the blocked path builds

@@ -90,20 +90,36 @@ def mul_unfused(a, b):
     """f32 multiply that cannot be FMA-contracted with a following add/sub.
 
     XLA's backends contract ``a*b + c`` into a single-rounding fma at the
-    LLVM level (lax.optimization_barrier does not prevent it), while the
-    Rust reference compiles to separate mul and add roundings.  A plain
-    f64-mul-then-convert is also insufficient: XLA's algebraic simplifier
-    legally rewrites convert_f32(mul_f64(convert(a), convert(b))) back to
-    mul_f32, re-exposing the contraction.  ``lax.reduce_precision`` is a
-    semantic op the simplifier never removes: compute the product exactly
-    in f64, round it onto the f32 grid (innocuous double rounding -- f64's
-    53 bits >= 2*24+2, Figueroa), and convert.  Bit-identical to an
-    unfused f32 multiply.  Operands are rounded to f32 FIRST (a Python
-    float carries f64 precision the reference's f32 math never sees)."""
+    LLVM level (a bare lax.optimization_barrier does not reliably prevent
+    it -- barriers may be dropped late, after which the simplifier's
+    convert_f32(mul_f64(convert(a), convert(b))) -> mul_f32 rewrite
+    re-exposes the contraction), while the Rust reference compiles to
+    separate mul and add roundings.  The proven fence: compute the
+    product exactly in f64 (53 bits >= 2*24+2, Figueroa), round it onto
+    the f32 grid with ``lax.reduce_precision`` -- a semantic op the
+    simplifier never removes -- and convert (the single rounding is
+    bit-identical to an unfused f32 multiply).
+
+    The TPU X64-rewrite pass has no lowering for f64 reduce-precision
+    (parity graphs with fenced ops failed to compile on the real chip),
+    so lowering is platform-split: CPU keeps the bit-proven
+    reduce_precision fence (where the bitwise oracle tests run); TPU gets
+    the f64-product + optimization_barrier form, which compiles and keeps
+    the double rounding unless a late pass interferes (the on-chip parity
+    budget is -90 dBFS, not bitwise).  Operands are rounded to f32 FIRST
+    (a Python float carries f64 precision the reference's f32 math never
+    sees)."""
     import jax.numpy as jnp
     a64 = jnp.asarray(a, jnp.float32).astype(jnp.float64)
     b64 = jnp.asarray(b, jnp.float32).astype(jnp.float64)
-    p = jax.lax.reduce_precision(a64 * b64, exponent_bits=8, mantissa_bits=23)
+    p64 = a64 * b64
+
+    def _rp(p):
+        return jax.lax.reduce_precision(p, exponent_bits=8,
+                                        mantissa_bits=23)
+
+    p = jax.lax.platform_dependent(p64, cpu=_rp,
+                                   default=jax.lax.optimization_barrier)
     return p.astype(jnp.float32)
 
 

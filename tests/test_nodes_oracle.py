@@ -551,7 +551,7 @@ def test_biquad_concrete_coeffs_dispatch_to_static_path(monkeypatch):
     seen = {}
     orig = scan_mod._biquad_blocked
 
-    def spy(x, a1, a2, b0, b1, b2, state, C=128):
+    def spy(x, a1, a2, b0, b1, b2, state, C=scan_mod._BLOCK_C):
         seen["concrete"] = all(isinstance(c, (int, float, np.floating))
                                for c in (a1, a2, b0, b1, b2))
         return orig(x, a1, a2, b0, b1, b2, state, C)
