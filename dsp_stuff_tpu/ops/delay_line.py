@@ -161,32 +161,16 @@ def _comb_chunks_blocked(xc, decay, history, G: int = 128):
     xp = jnp.pad(xc, [(0, pad)] + [(0, 0)] * (xc.ndim - 1))
     Xg = xp.reshape(KG, G, *xc.shape[1:])                  # [KG, G, ..., D]
 
-    import numpy as np
-    if isinstance(decay, (int, float, np.floating)):
-        # concrete decay: powers/Toeplitz as trace-time constants
-        g = np.arange(G)
-        pows_np = np.concatenate(
-            [np.ones(1, np.float32),
-             np.cumprod(np.full(G, decay, np.float32), dtype=np.float32)])
-        LtG = jnp.asarray(np.where(
-            g[:, None] >= g[None, :],
-            pows_np[np.clip(g[:, None] - g[None, :], 0, G)], 0.0
-        ).astype(np.float32))
-        pows = jnp.asarray(pows_np)
-    else:
-        g = jnp.arange(G)
-        pows = jnp.concatenate([jnp.ones((1,), f32),
-                                jnp.cumprod(jnp.full((G,), decay, f32))])
-        # LtG[i, j] = decay^(i-j) for i >= j (column orientation)
-        LtG = jnp.where(g[:, None] >= g[None, :],
-                        pows[jnp.clip(g[:, None] - g[None, :], 0, G)], 0.0)
+    # LtG[i, j] = decay^(i-j) for i >= j; the shared helper owns the
+    # concrete-vs-traced constant split
+    from dsp_stuff_tpu.ops.scan import scalar_power_toeplitz
+    pows, LtG, dG = scalar_power_toeplitz(decay, G, row_ge_col=True)
 
     z = jnp.einsum("ij,kj...->ki...", LtG, Xg,
                    preferred_element_type=f32,
                    precision=jax.lax.Precision.HIGHEST)    # [KG, G, ..., D]
 
     # carry across super-chunks: e_m = decay^G e_{m-1} + z[m, -1], e_-1=hist
-    dG = pows[G]
     ends = z[:, G - 1]                                     # [KG, ..., D]
     ends = ends.at[0].add(dG * history)
     a = jnp.full((KG,) + (1,) * (ends.ndim - 1), dG, f32)

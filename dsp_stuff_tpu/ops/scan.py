@@ -144,6 +144,39 @@ def _first_order_jit(a, b, y0, internal_dtype, sequential):
 _BLOCK_C = 128
 
 
+def scalar_power_toeplitz(a, n: int, row_ge_col: bool = False):
+    """(pows [n+1], Lt [n, n], a^n) for a scalar coefficient ``a``.
+
+    Default orientation: Lt[j, i] = a^(i-j) for i >= j (column form, the
+    ``B @ Lt`` zero-state response); ``row_ge_col`` flips to
+    Lt[i, j] = a^(i-j) for i >= j (the comb solver's ``Lt @ X`` form).
+
+    The ONE place that owns the concrete-vs-traced split: a concrete
+    (Python/NumPy scalar) coefficient builds everything in NumPy as
+    trace-time constants — traced, a jnp.cumprod would sit inside the
+    jaxpr as a while-lowered op XLA neither folds nor hoists out of an
+    enclosing feedback-cycle scan (~15 us per 128-block)."""
+    f32 = jnp.float32
+    if isinstance(a, (int, float, np.floating)):
+        i = np.arange(n)
+        pows_np = np.concatenate(
+            [np.ones(1, np.float32),
+             np.cumprod(np.full(n, a, np.float32), dtype=np.float32)])
+        diff = (i[:, None] - i[None, :]) if row_ge_col else \
+            (i[None, :] - i[:, None])
+        Lt = jnp.asarray(np.where(
+            diff >= 0, pows_np[np.clip(diff, 0, n)], 0.0
+        ).astype(np.float32))
+        return jnp.asarray(pows_np), Lt, pows_np[n]
+    i = jnp.arange(n)
+    pows = jnp.concatenate([jnp.ones((1,), f32),
+                            jnp.cumprod(jnp.full((n,), a, f32))])
+    diff = (i[:, None] - i[None, :]) if row_ge_col else \
+        (i[None, :] - i[:, None])
+    Lt = jnp.where(diff >= 0, pows[jnp.clip(diff, 0, n)], 0.0)
+    return pows, Lt, pows[n]
+
+
 def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     """Constant-coefficient first-order recurrence as MXU matmuls.
 
@@ -168,28 +201,9 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
     B = bp.reshape(*batch, K, C)
 
-    concrete = isinstance(a, (int, float, np.floating))
-    i = np.arange(C) if concrete else jnp.arange(C)
-    # powers a^0..a^C; guard pow for a == 0 (0^0 = 1 here).  With a
-    # concrete coefficient (slider params are Python floats) the matrices
-    # build in NumPy as trace-time CONSTANTS — a traced cumprod is a
-    # while-lowered op XLA neither folds nor hoists out of an enclosing
-    # feedback-cycle scan (~15 us per 128-block, see first_order_affine)
-    if concrete:
-        pows_np = np.concatenate([np.ones(1, np.float32),
-                                  np.cumprod(np.full(C, a, np.float32),
-                                             dtype=np.float32)])
-        Lt = jnp.asarray(np.where(
-            i[:, None] <= i[None, :],
-            pows_np[np.clip(i[None, :] - i[:, None], 0, C)], 0.0
-        ).astype(np.float32))
-        pows = jnp.asarray(pows_np)
-        aC_c = pows_np[C]
-    else:
-        pows = jnp.concatenate([jnp.ones((1,), f32),
-                                jnp.cumprod(jnp.full((C,), a, f32))])
-        Lt = jnp.where(i[:, None] <= i[None, :],
-                       pows[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
+    # powers a^0..a^C; guard pow for a == 0 (0^0 = 1 here); the helper
+    # owns the concrete-vs-traced constant split
+    pows, Lt, aC = scalar_power_toeplitz(a, C)
 
     z = jnp.einsum("...kc,cd->...kd", B, Lt,
                    preferred_element_type=f32,
@@ -200,29 +214,13 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     # length K, so recurse: T=2.88M resolves as 2-3 matmul levels
     # (11250 -> 44 -> direct) instead of a log-K Blelloch scan whose ~14
     # dispatch-bound passes dominated the op's runtime on v5e.
-    aC = aC_c if concrete else pows[C]
     ends = z[..., :, C - 1]                                # [..., K]
     y0b = jnp.broadcast_to(jnp.asarray(y0, f32), batch)
     if K > C:
         e = _first_order_blocked(aC, ends, y0b, C)
     elif K > 8:
         # single Toeplitz matmul level
-        if concrete:
-            i2 = np.arange(K)
-            pows2_np = np.concatenate(
-                [np.ones(1, np.float32),
-                 np.cumprod(np.full(K, aC, np.float32), dtype=np.float32)])
-            Lt2 = jnp.asarray(np.where(
-                i2[:, None] <= i2[None, :],
-                pows2_np[np.clip(i2[None, :] - i2[:, None], 0, K)], 0.0
-            ).astype(np.float32))
-        else:
-            i2 = jnp.arange(K)
-            pows2 = jnp.concatenate([jnp.ones((1,), f32),
-                                     jnp.cumprod(jnp.full((K,), aC, f32))])
-            Lt2 = jnp.where(
-                i2[:, None] <= i2[None, :],
-                pows2[jnp.clip(i2[None, :] - i2[:, None], 0, K)], 0.0)
+        _, Lt2, _ = scalar_power_toeplitz(aC, K)
         ends0 = ends.at[..., 0].add(aC * y0b)
         e = jnp.einsum("...k,kd->...d", ends0, Lt2,
                        preferred_element_type=f32,
