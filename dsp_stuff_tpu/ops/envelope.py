@@ -157,13 +157,16 @@ def _env_fast(x, atk, rel, env0):
 @_env_fast.def_vmap
 def _env_fast_vmap(axis_size, in_batched, x, atk, rel, env0):
     x_b, atk_b, rel_b, env0_b = in_batched
-    if atk_b or rel_b or x.ndim != 2:
+    if atk_b or rel_b or not x_b or x.ndim != 2:
+        # unbatched x (vmap over env0 only with a closed-over signal) would
+        # need a rank-3 broadcast the [B, T] fast kernel cannot take; no
+        # real caller does this, so refuse uniformly rather than crash with
+        # a shape error downstream
         raise NotImplementedError(
-            "peak_envelope fast path: per-stream attack/release or nested "
-            "batching is not supported (gains are per-graph sliders)")
+            "peak_envelope fast path: per-stream attack/release, unbatched "
+            "signals, or nested batching are not supported (gains are "
+            "per-graph sliders; the signal must carry the vmapped axis)")
     S = axis_size
-    if not x_b:
-        x = jnp.broadcast_to(x, (S, *x.shape))
     e0 = env0 if env0_b else jnp.broadcast_to(env0, (S,))
     env, fin = _fast_fwd_batched(x, atk, rel, e0)
     return (env, fin), (True, True)
@@ -228,10 +231,14 @@ _MAX_CHUNKED_FRAMES = 1500.0
 
 
 def _frames_maybe_too_large(frames) -> bool:
+    """True when a concrete frame count is outside the chunked path's
+    contraction contract: above _MAX_CHUNKED_FRAMES, negative (gain
+    exp(-1/f) > 1 would *amplify* chunk-seed error), or NaN."""
     try:
-        return float(frames) > _MAX_CHUNKED_FRAMES
+        f = float(frames)
     except Exception:       # traced value: trust the node-level clamp
         return False
+    return not (0.0 <= f <= _MAX_CHUNKED_FRAMES)
 
 
 def peak_envelope(x, attack_frames=0.0, release_frames=0.0, env0=0.0):

@@ -84,9 +84,17 @@ def first_order_affine(a, b, y0):
 
 
 def _inside_trace() -> bool:
-    """True when called under an enclosing jax trace (jit/vmap/grad)."""
-    from jax._src import core as _core
-    return not _core.trace_state_clean()
+    """True when called under an enclosing jax trace (jit/vmap/grad).
+
+    trace_state_clean is a private API; if a jax upgrade moves it, fall
+    back to probing whether a trivial computation produces a Tracer (an
+    eager context materializes a concrete array).  The fallback is slower
+    but only changes WHICH equally-correct lowering is picked."""
+    try:
+        from jax._src import core as _core
+        return not _core.trace_state_clean()
+    except (ImportError, AttributeError):
+        return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
 
 
 @functools.partial(jax.jit, static_argnums=(0,), inline=True)

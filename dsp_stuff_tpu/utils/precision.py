@@ -110,6 +110,8 @@ def mul_unfused(a, b):
     (a Python float carries f64 precision the reference's f32 math never
     sees)."""
     import jax.numpy as jnp
+    if get_policy().sequential_recurrences:
+        _warn_exact_on_tpu_once()
     a64 = jnp.asarray(a, jnp.float32).astype(jnp.float64)
     b64 = jnp.asarray(b, jnp.float32).astype(jnp.float64)
     p64 = a64 * b64
@@ -121,6 +123,33 @@ def mul_unfused(a, b):
     p = jax.lax.platform_dependent(p64, cpu=_rp,
                                    default=jax.lax.optimization_barrier)
     return p.astype(jnp.float32)
+
+
+_warned_exact_tpu = False
+
+
+def _warn_exact_on_tpu_once() -> None:
+    """The 'exact' policy's bit-order guarantee is established on the CPU
+    backend; on TPU the fence degrades to optimization_barrier (see
+    mul_unfused docstring), which a late pass may drop.  Warn once so
+    bitwise claims are never silently extended to on-chip runs (on-chip
+    the contract is the parity budget, <= -90 dBFS — PARITY.md)."""
+    global _warned_exact_tpu
+    if _warned_exact_tpu:
+        return
+    try:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return
+    if on_tpu:
+        _warned_exact_tpu = True
+        import warnings
+        warnings.warn(
+            "precision policy 'exact' is tracing for a TPU backend: the "
+            "bit-order fence lowers to optimization_barrier there and is "
+            "best-effort; bitwise guarantees hold on CPU only (on-chip "
+            "contract is the parity policy's -90 dBFS budget)",
+            stacklevel=3)
 
 
 def div_ieee(a, b):
