@@ -135,6 +135,18 @@ def resample_sinc16(x, ratio: float):
     return arr
 
 
+def dup_to_stereo(x):
+    """Mono [n] f32 -> interleaved stereo [2n] (devices.rs:476-480)."""
+    lib = load()
+    assert lib is not None
+    x = np.ascontiguousarray(np.asarray(x, np.float32))
+    out = np.empty(2 * x.size, np.float32)
+    lib.dsp_dup_to_stereo(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.size)
+    return out
+
+
 class Ring:
     """Lock-free SPSC ring buffer (rivulet analog; capacity in f32 samples).
 

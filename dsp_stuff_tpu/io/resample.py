@@ -12,6 +12,21 @@ import numpy as np
 HALF = 8
 
 
+def sinc16_taps(frac, ratio: float):
+    """Hann-windowed sinc tap matrix [len(frac), 16] (f64) for fractional
+    offsets ``frac`` in [0, 1); identical math in all three impls."""
+    frac = np.asarray(frac, np.float64)
+    m = np.arange(-HALF + 1, HALF + 1, dtype=np.float64)
+    xg = m[None, :] - frac[:, None]
+    fc = min(ratio, 1.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sinc = np.where(np.abs(xg) < 1e-12, 1.0,
+                        np.sin(np.pi * fc * xg) / (np.pi * fc * xg))
+    w = np.where(np.abs(xg) <= HALF,
+                 0.5 * (1.0 + np.cos(np.pi * xg / HALF)), 0.0)
+    return fc * sinc * w
+
+
 def resample_sinc16(x, ratio: float) -> np.ndarray:
     x = np.asarray(x, np.float32)
     T = x.size
@@ -21,14 +36,7 @@ def resample_sinc16(x, ratio: float) -> np.ndarray:
     i0 = np.floor(t).astype(np.int64)
     frac = t - i0
     m = np.arange(-HALF + 1, HALF + 1, dtype=np.float64)
-    xg = m[None, :] - frac[:, None]
-    fc = min(ratio, 1.0)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        sinc = np.where(np.abs(xg) < 1e-12, 1.0,
-                        np.sin(np.pi * fc * xg) / (np.pi * fc * xg))
-    w = np.where(np.abs(xg) <= HALF,
-                 0.5 * (1.0 + np.cos(np.pi * xg / HALF)), 0.0)
-    taps = fc * sinc * w
+    taps = sinc16_taps(frac, ratio)
     idx = i0[:, None] + m[None, :].astype(np.int64)
     valid = (idx >= 0) & (idx < T)
     gathered = np.where(valid, x[np.clip(idx, 0, T - 1)].astype(np.float64),

@@ -116,6 +116,58 @@ def detect_pitch(x, sample_rate: int = 48_000, power_threshold: float = 0.5,
     power = jnp.sum(xw * xw, axis=-1)
     has_peak = jnp.any(is_peak, axis=-1)
     voiced = has_peak & (power >= power_threshold) & (val >= clarity_threshold)
-    return {"frequency": jnp.where(voiced, freq, 0.0),
+    freq_out = jnp.where(voiced, freq, 0.0)
+    return {"frequency": freq_out,
             "clarity": jnp.where(voiced, val, 0.0),
-            "voiced": voiced}
+            "voiced": voiced,
+            "note_nr": jnp.where(voiced, freq_to_note_nr(freq_out), 0)}
+
+
+# -- note-name readout (the reference's instrument display) -------------------
+#
+# pitch.rs:61-74 maps frequency -> rust-music-theory Note:
+#     note_nr(Note) = pitch_class u8 + 12 * octave      (C = 0 .. B = 11)
+#     freq_to_note(f) = from_note_nr(
+#         ((12 * log2(f / 440)) as i16 + 57) as u8)     (A4 = nr 57)
+# Two quirks are load-bearing for parity: the Rust `as i16` cast TRUNCATES
+# TOWARD ZERO (466.16 Hz is +99.97 cents above A4 and still displays "A 4";
+# only >= +100 cents reaches A#), and the `as u8` cast wraps mod 256 for
+# sub-16.35 Hz detections.  ``nearest=True`` is the extension musicians
+# expect (round to the closest note + signed cent offset).
+
+NOTE_NAMES = ("C", "C#", "D", "D#", "E", "F",
+              "F#", "G", "G#", "A", "A#", "B")
+_A4_NR = 57        # note_nr(Note::new(PitchClass::A, 4)), pitch.rs:72
+
+
+def freq_to_note_nr(freq, nearest: bool = False):
+    """freq [..] -> note number (C0 = 0, A4 = 57), reference semantics.
+
+    jit-safe.  freq <= 0 maps to 0 (callers mask with ``voiced``)."""
+    freq = jnp.asarray(freq)
+    safe = jnp.where(freq > 0, freq, 440.0)
+    steps = 12.0 * jnp.log2(safe / 440.0)
+    stepi = jnp.round(steps) if nearest else jnp.trunc(steps)
+    nr = stepi.astype(jnp.int32) + _A4_NR
+    nr = jnp.where(jnp.asarray(freq) > 0, nr & 0xFF, 0)   # the u8 wrap
+    return nr
+
+
+def note_name(nr) -> str:
+    """Note number -> the display string of pitch.rs:84 ("A 4")."""
+    nr = int(nr)
+    return f"{NOTE_NAMES[nr % 12]} {nr // 12}"
+
+
+def describe_pitch(freq, nearest: bool = False):
+    """Host-side readout for one frequency: (name, octave, cents).
+
+    ``cents`` is the signed offset of ``freq`` from the reported note
+    (for the default truncating map it lies in (-100, 100); with
+    ``nearest=True`` in [-50, 50])."""
+    freq = float(freq)
+    if freq <= 0:
+        return ("", 0, 0.0)
+    nr = int(freq_to_note_nr(np.float64(freq), nearest=nearest))
+    cents = 1200.0 * np.log2(freq / 440.0) - 100.0 * (nr - _A4_NR)
+    return (f"{NOTE_NAMES[nr % 12]} {nr // 12}", nr // 12, float(cents))

@@ -53,11 +53,25 @@ def render(graph: Graph, inputs=None, T: int | None = None,
 
 
 def render_file(graph_path: str, in_wavs=None, out_wav: str | None = None,
-                seconds: float | None = None, block_size: int = BLOCK_SIZE):
+                seconds: float | None = None, block_size: int = BLOCK_SIZE,
+                out_rate: int | None = None, stereo_out: bool = False,
+                resample_inputs: bool = False):
     """Render a saved graph JSON over WAV files.
 
     in_wavs -- path, list of paths (one per Input node, ascending id), or
                None (silence / generator-driven graphs need ``seconds``).
+    out_rate -- export sample rate: the rendered 48 kHz outputs pass
+               through the host sinc-16 resampler (native C++ when built,
+               NumPy fallback -- bit-identical) before writing, the
+               offline analog of the reference's device-rate output path
+               (devices.rs:516-556).  None/48000 writes 48 kHz directly.
+    stereo_out -- duplicate a mono render to both stereo channels
+               (devices.rs:476-480).  Requires exactly one output node.
+    resample_inputs -- accept non-48 kHz input WAVs by resampling them to
+               48 kHz through the same host sinc-16 on ingest (a
+               convenience the reference lacks: its capture is pinned to
+               48 kHz by construction, devices.rs:280-286; divergence
+               documented in PARITY.md).  Off by default for parity.
     Returns (outputs [n_out, T] np.float32, aux).
     """
     graph = load_graph(graph_path)
@@ -70,15 +84,37 @@ def render_file(graph_path: str, in_wavs=None, out_wav: str | None = None,
         for p in in_wavs:
             data, rate = wav_io.read_wav(p)
             if rate != wav_io.SAMPLE_RATE:
-                raise ValueError(
-                    f"{p}: {rate} Hz; resample to 48 kHz first "
-                    "(the reference pins capture at 48 kHz, devices.rs:281)")
-            cols.append(wav_io.to_mono(data))
+                if not resample_inputs:
+                    raise ValueError(
+                        f"{p}: {rate} Hz; resample to 48 kHz first or pass "
+                        "resample_inputs=True (the reference pins capture "
+                        "at 48 kHz, devices.rs:281)")
+                import warnings
+                warnings.warn(f"{p}: resampling {rate} Hz -> 48000 Hz on "
+                              "ingest (sinc-16)")
+                from dsp_stuff_tpu.io.playback import host_resample
+                cols.append(host_resample(wav_io.to_mono(data),
+                                          wav_io.SAMPLE_RATE / rate))
+            else:
+                cols.append(wav_io.to_mono(data))
         T = max(len(c) for c in cols)
         inputs = np.stack([np.pad(c, (0, T - len(c))) for c in cols])
     elif seconds is not None:
         T = int(round(seconds * wav_io.SAMPLE_RATE))
     outs, aux, _ = render(graph, inputs, T=T, block_size=block_size)
-    if out_wav is not None and outs.shape[0]:
-        wav_io.write_wav(out_wav, outs)
-    return outs, aux
+    export = outs
+    export_rate = wav_io.SAMPLE_RATE
+    if out_rate is not None and out_rate != wav_io.SAMPLE_RATE:
+        from dsp_stuff_tpu.io.playback import host_resample
+        ratio = out_rate / wav_io.SAMPLE_RATE
+        export = np.stack([host_resample(ch, ratio) for ch in outs]) \
+            if outs.shape[0] else outs
+        export_rate = int(out_rate)
+    if stereo_out:
+        if export.shape[0] != 1:
+            raise ValueError("stereo_out needs exactly one output node "
+                             f"(graph has {export.shape[0]})")
+        export = np.concatenate([export, export])   # dup, devices.rs:476-480
+    if out_wav is not None and export.shape[0]:
+        wav_io.write_wav(out_wav, export, sample_rate=export_rate)
+    return (export if (out_rate or stereo_out) else outs), aux

@@ -112,6 +112,9 @@ class StreamSession:
         # per-output catch-up counter (the reference's per-device AtomicU8
         # resync counter, devices.rs:33,150-156)
         self._catchup = {nid: 0 for nid in self.cg.output_ids}
+        # per-(output, device_rate) streaming resampler (the reference's
+        # persistent Converter<CountingSignal, Sinc>, devices.rs:550-556)
+        self._resamplers = {}
 
     # -- direct block API --------------------------------------------------
 
@@ -140,6 +143,74 @@ class StreamSession:
             if self.cg.output_ids else np.zeros((0, B), np.float32)
         return out
 
+    def process_many(self, inputs=None, n_blocks: int | None = None):
+        """Process k consecutive blocks in ONE dispatch.
+
+        The per-dispatch tunnel cost (~7 ms) makes single 128-sample
+        blocks stream slower than real time on a remote TPU; pipelining k
+        blocks through a ``lax.scan`` inside one jitted call amortizes it
+        to ~7/k ms per block while preserving block-exact semantics (the
+        scan body IS the single-block step, state carried across
+        iterations — same samples as k process() calls).
+
+        inputs: {input_node_id: [k*block]} / [n_inputs, k*block] / None
+        (then ``n_blocks`` is required).  Returns [n_out, k*block].
+        """
+        B = self.block_size
+        if inputs is None:
+            if not n_blocks:
+                raise ValueError("process_many() needs inputs or n_blocks")
+            k = int(n_blocks)
+            ext = {str(i): np.zeros((k, B), np.float32)
+                   for i in self.cg.input_ids}
+        else:
+            if isinstance(inputs, dict):
+                ext = {str(kk): np.asarray(v, np.float32)
+                       for kk, v in inputs.items()}
+            else:
+                arr = np.atleast_2d(np.asarray(inputs, np.float32))
+                ext = {str(nid): arr[i]
+                       for i, nid in enumerate(self.cg.input_ids)}
+            T = next(iter(ext.values())).shape[-1]
+            if T % B:
+                raise ValueError(f"input length {T} is not a multiple of "
+                                 f"block_size {B}")
+            k = T // B
+            if n_blocks is not None and int(n_blocks) != k:
+                raise ValueError(f"n_blocks={n_blocks} but inputs carry "
+                                 f"{k} blocks")
+            ext = {kk: v.reshape(k, B) for kk, v in ext.items()}
+            for i in self.cg.input_ids:
+                ext.setdefault(str(i), np.zeros((k, B), np.float32))
+        if not ext:
+            ext = {"__len__": np.zeros((k, B), np.float32)}
+        self.state, outs = self._chunk_fn(self.state, ext)
+        out = (np.stack([np.asarray(outs[i]) for i in self.cg.output_ids])
+               .reshape(len(self.cg.output_ids), k * B)
+               if self.cg.output_ids else np.zeros((0, k * B), np.float32))
+        return out
+
+    @property
+    def _chunk_fn(self):
+        """jitted scan-over-blocks step (built once; k is a traced scan
+        length so every k shares one compilation per input structure)."""
+        fn = getattr(self, "_chunk_fn_cached", None)
+        if fn is None:
+            import jax.numpy as jnp
+            step = self.cg.fn
+            params = self.params
+            out_ids = list(self.cg.output_ids)
+
+            @jax.jit
+            def run(state, ext_blocks):
+                def body(st, ext):
+                    st, outs, _aux = step(st, ext, params)
+                    return st, {i: outs[i] for i in out_ids}
+                return jax.lax.scan(body, state, ext_blocks)
+
+            fn = self._chunk_fn_cached = run
+        return fn
+
     # -- ring-buffered device-style API -------------------------------------
 
     def feed(self, node_id: int, samples) -> int:
@@ -159,27 +230,64 @@ class StreamSession:
             self.out_rings[nid].write(out[i])
         return True
 
-    def drain_output(self, node_id: int, n: int) -> np.ndarray:
+    def drain_output(self, node_id: int, n: int,
+                     device_rate: int | None = None,
+                     stereo: bool = False) -> np.ndarray:
         """Playback-side read with the reference's callback semantics
         (devices.rs:400-500):
 
-        * underrun (fewer than n buffered) -> a full block of silence, the
-          ring untouched (try_grant fails, devices.rs:436-440,495-499);
+        * underrun (fewer source samples buffered than the read needs) ->
+          a full block of silence, the ring untouched (try_grant fails,
+          devices.rs:436-440,495-499);
         * otherwise the catch-up counter saturating-decrements once per
           read, and if its PREVIOUS value was > 0 while the backlog is
-          >= 2 blocks, the backlog is skipped: the newest n samples play
-          and everything older is dropped (devices.rs:408-427,459-483) --
-          the graduated latency-recovery protocol behind "Sync output".
+          >= 2 blocks' worth of input, the backlog is skipped: the newest
+          samples play and everything older is dropped
+          (devices.rs:408-427,459-483) -- the graduated latency-recovery
+          protocol behind "Sync output".
+
+        ``device_rate`` (the composed output path, devices.rs:516-556):
+        ``n`` counts DEVICE-rate samples; the read pulls the exact number
+        of 48 kHz source samples the persistent sinc-16 resampler consumes
+        (the reference releases source().index, devices.rs:434) and emits n
+        resampled samples.  Chained reads are bit-identical to a one-shot
+        ``resample_sinc16`` of the 8-sample-delayed source stream
+        (io/playback.StreamingSinc16).  ``stereo`` duplicates the mono
+        result into interleaved stereo [2n] (devices.rs:476-480).
         """
+        out = self._drain_mono(node_id, n, device_rate)
+        if stereo:
+            from dsp_stuff_tpu.io.playback import dup_to_stereo
+            out = dup_to_stereo(out)
+        return out
+
+    def _drain_mono(self, node_id: int, n: int,
+                    device_rate: int | None) -> np.ndarray:
         ring = self.out_rings[node_id]
-        if ring.readable < n:
-            return np.zeros(n, np.float32)
+        if device_rate is None or device_rate == 48_000:
+            if ring.readable < n:
+                return np.zeros(n, np.float32)
+            c = self._catchup[node_id]
+            self._catchup[node_id] = c - 1 if c > 0 else 0  # saturating_sub
+            backlog = ring.readable - n
+            if c > 0 and backlog >= 2 * n:
+                ring.read(backlog)      # skip ahead; ring drains fully
+            return ring.read(n)
+
+        from dsp_stuff_tpu.io.playback import StreamingSinc16
+        key = (node_id, int(device_rate))
+        rs = self._resamplers.get(key)
+        if rs is None:
+            rs = self._resamplers[key] = StreamingSinc16(int(device_rate))
+        input_len = rs.input_needed(n)
+        if ring.readable < input_len:
+            return np.zeros(n, np.float32)      # underrun, nothing advances
         c = self._catchup[node_id]
-        self._catchup[node_id] = c - 1 if c > 0 else 0  # saturating_sub(1)
-        backlog = ring.readable - n
-        if c > 0 and backlog >= 2 * n:
-            ring.read(backlog)          # skip ahead; ring drains fully
-        return ring.read(n)
+        self._catchup[node_id] = c - 1 if c > 0 else 0
+        backlog = ring.readable - input_len
+        if c > 0 and backlog >= 2 * input_len:
+            rs.skip(ring.read(backlog))         # drop oldest, keep history
+        return rs.produce(ring.read(input_len), n)
 
     def resync(self) -> None:
         """The Sync-output action (runtime.rs:513-529): inter-node pipes
