@@ -129,6 +129,12 @@ def main():
             print(f"bench: {name} metric failed: {e!r}", file=sys.stderr)
             cfg_rtf[name] = None
 
+    stream_rtf = {}
+    try:
+        stream_rtf = _streaming_metric()
+    except Exception as e:
+        print(f"bench: streaming metric failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "rtf_10node_stereo_chain_48k",
         "value": round(rtf, 1),
@@ -145,9 +151,74 @@ def main():
         "rtf_config2_echo_chorus": cfg_rtf.get("config2"),
         "rtf_config3_oversampled_distortion": cfg_rtf.get("config3"),
         "rtf_config4_convolution_reverb_stereo": cfg_rtf.get("config4"),
+        "pct_hbm_roofline_headline": _pct_roofline(rtf, 2, 2),
+        "pct_hbm_roofline_config5": _pct_roofline(rtf_batched, 1, 2),
+        "pct_hbm_roofline_config2": _pct_roofline(cfg_rtf.get("config2"),
+                                                  1, 2),
+        "pct_hbm_roofline_config3": _pct_roofline(cfg_rtf.get("config3"),
+                                                  1, 2),
+        "pct_hbm_roofline_config4": _pct_roofline(cfg_rtf.get("config4"),
+                                                  1, 3),
+        "hbm_gbps_assumed": HBM_GBPS,
+        "rtf_streaming_block128": stream_rtf.get("block128"),
+        "rtf_streaming_block2048": stream_rtf.get("block2048"),
+        "rtf_streaming_pipelined_1s": stream_rtf.get("pipelined_1s"),
         "target_rtf": 1000.0,
         "target_accuracy_dbfs": -90.0,
     }))
+
+
+# v5e HBM bandwidth (public spec: 819 GB/s per chip).  The roofline
+# percentage is wall-clock vs the pure-I/O lower bound: even a perfectly
+# fused graph must read every input stream and write every output stream
+# through HBM once, so time_min = streams_io * T * 4 bytes / BW.
+HBM_GBPS = 819.0
+
+
+def _pct_roofline(rtf, n_streams_io_in: int, n_streams_io_out: int):
+    """% of the HBM speed-of-light floor achieved.
+
+    ``rtf`` is audio-seconds per wall-second for ONE stream-set; a
+    stream-set moves (in + out) * 48000 * 4 bytes per audio-second, so the
+    achieved HBM floor rate is rtf * bytes_per_audio_s, reported as a
+    percentage of HBM_GBPS.  100% = the render is as fast as merely
+    streaming its I/O through HBM once."""
+    if rtf is None:
+        return None
+    bytes_per_audio_s = (n_streams_io_in + n_streams_io_out) * SR * 4
+    return round(100.0 * rtf * bytes_per_audio_s / (HBM_GBPS * 1e9), 2)
+
+
+def _streaming_metric():
+    """StreamSession operating points on this device: per-dispatch blocks
+    at 128 and 2048 samples (each process() call pays the ~7 ms tunnel
+    dispatch + host fetch), and the pipelined path (process_many: 375
+    blocks = 1 s of audio per dispatch via lax.scan)."""
+    from dsp_stuff_tpu.runtime.stream import StreamSession
+    from dsp_stuff_tpu.utils import precision
+
+    res = {}
+    with precision.policy("fast"):
+        g, inp_id = build_chain()
+        for bs, key, reps in ((128, "block128", 40), (2048, "block2048", 20)):
+            sess = StreamSession(g, block_size=bs)
+            xb = np.zeros(bs, np.float32)
+            sess.process({str(inp_id): xb})          # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                sess.process({str(inp_id): xb})
+            wall = time.perf_counter() - t0
+            res[key] = round(reps * bs / SR / wall, 2)
+        sess = StreamSession(g)
+        xp = np.zeros(375 * 128, np.float32)
+        sess.process_many({str(inp_id): xp})         # compile + warm
+        best = float("inf")
+        for _ in range(N_TIMED):
+            t0 = time.perf_counter()
+            sess.process_many({str(inp_id): xp})
+            best = min(best, time.perf_counter() - t0)
+        res["pipelined_1s"] = round(1.0 / best, 1)
+    return res
 
 
 def _time_chained_renders(g, ext_np, batch: int, n_chain: int) -> float:

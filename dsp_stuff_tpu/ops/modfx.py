@@ -28,6 +28,121 @@ def max_delay_samples(base_s: float, depth_s: float,
     return int(np.ceil((base_s + depth_s) * sample_rate)) + 2
 
 
+_BARREL_FRAME = 128      # outputs per frame (one full lane row)
+_BARREL_MIN_T = 8192     # below this the gather is dispatch-bound anyway
+_BARREL_MAX_E = 16       # residual range cap (fast+deep LFOs fall back)
+
+
+def _vmap_batch_size(x) -> int:
+    """Total vmapped batch size hidden above ``x`` (1 if unbatched).
+
+    Heuristic over jax internals (BatchTracer nesting) used ONLY to pick
+    between two equally-correct lowerings; any API drift falls back to the
+    batched-gather path."""
+    try:
+        try:
+            from jax._src.interpreters import batching
+        except ImportError:      # private layout changed: public fallback
+            from jax.interpreters import batching
+        n = 1
+        t = x
+        while isinstance(t, batching.BatchTracer):
+            d = t.batch_dim
+            if isinstance(d, int):
+                n *= t.val.shape[d]
+            t = t.val
+        return n
+    except Exception:
+        return 1 << 30
+
+
+def _barrel_plan(rate_hz, depth_s, base_s, L: int, T: int,
+                 sample_rate: int):
+    """Static shift-plan for the barrel lowering, or None when it does not
+    apply: needs concrete (untraced) LFO params, a long enough render, a
+    delay comfortably above the interpolation window, and a slow enough
+    trajectory that the per-frame residual stays tiny."""
+    for v in (rate_hz, depth_s, base_s):
+        if isinstance(v, jax.core.Tracer) or np.ndim(v) != 0:
+            return None
+    if T < _BARREL_MIN_T:
+        return None
+    rate = abs(float(rate_hz))
+    depth = float(depth_s) * sample_rate
+    base = float(base_s) * sample_rate
+    dmin, dmax = base - depth, base + depth
+    if dmin < 2.0:
+        return None                    # pos clipping could bind; rare
+    F = _BARREL_FRAME
+    # per-frame residual bound: LFO slope depth*2*pi*rate/sr per sample,
+    # integrated over a frame, +2 for floor jitter at both ends
+    E = int(np.ceil(depth * 2.0 * np.pi * rate * F / sample_rate)) + 2
+    if E > _BARREL_MAX_E:
+        return None
+    # offset u[t] = i[t] - t - c0 with c0 chosen so u >= 0:
+    # i = floor(L + t - d) >= t + floor(L - dmax)
+    c0 = int(np.floor(L - dmax)) - 1
+    U = int(np.ceil(L - dmin)) - c0 + 1        # exclusive upper bound on u
+    return c0, U, E
+
+
+def _barrel_taps(xx, i, c0: int, U: int, E: int):
+    """Gather-free evaluation of a = xx[..., i], b = xx[..., i+1] for a
+    smooth monotone shared index trajectory ``i`` (values t + c0 + u[t],
+    0 <= u < U, |u variation| < E per 128-frame).
+
+    Frames of F=128 outputs; per frame the minimum offset U_f applies as a
+    constant row shift composed from log2 slice+selects (valid because the
+    shift is uniform within the row), then the residual e in [0, E) picks
+    between E shifted copies via one-hot masked adds.  Returns values
+    bit-identical to the gathers (the only rewrite risk is 0.0*pad + x
+    flushing a -0.0, the already-documented sign-of-zero divergence
+    class)."""
+    f32 = jnp.float32
+    T = i.shape[0]
+    F = _BARREL_FRAME
+    Tf = -(-T // F)
+    u = i - jnp.arange(T, dtype=jnp.int32) - c0            # [T], in [0, U)
+    if T != Tf * F:
+        u = jnp.pad(u, (0, Tf * F - T), mode="edge")
+    u2 = u.reshape(Tf, F)
+    U_f = u2.min(axis=1)                                   # [Tf]
+    e2 = u2 - U_f[:, None]                                 # [Tf, F] in [0, E)
+
+    nbits = max(1, int(U - 1).bit_length())
+    # row width: frame + residual + b-tap + total barrel consumption
+    Wz = F * (-(-(F + E + 1 + (1 << nbits) - 1) // F))
+    zlen = Tf * F + Wz
+    z = xx[..., c0:]
+    pad = zlen - z.shape[-1]
+    if pad > 0:
+        z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, pad)])
+    else:
+        z = z[..., :zlen]
+    # overlapping frames from contiguous shifted reshapes (no gather)
+    batch = z.shape[:-1]
+    rows = [z[..., k * F:k * F + Tf * F].reshape(*batch, Tf, F)
+            for k in range(Wz // F)]
+    Z = jnp.concatenate(rows, axis=-1)                     # [..., Tf, Wz]
+
+    width = Wz
+    for bit in range(nbits):
+        sb = 1 << bit
+        m = ((U_f >> bit) & 1).astype(bool)[:, None]
+        Z = jnp.where(m, Z[..., sb:width], Z[..., :width - sb])
+        width -= sb
+
+    acc_a = jnp.zeros((*batch, Tf, F), f32)
+    acc_b = jnp.zeros((*batch, Tf, F), f32)
+    for ev in range(E):
+        m = (e2 == ev).astype(f32)
+        acc_a = acc_a + m * Z[..., ev:ev + F]
+        acc_b = acc_b + m * Z[..., ev + 1:ev + 1 + F]
+    a = acc_a.reshape(*batch, Tf * F)[..., :T]
+    b = acc_b.reshape(*batch, Tf * F)[..., :T]
+    return a, b
+
+
 def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
                     sample_rate: int = 48_000):
     """Apply a sine-modulated fractional delay along the last axis.
@@ -92,14 +207,30 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
     frac = (pos - jnp.floor(pos)).astype(f32)
     if i.ndim == 1:
         # shared tap trajectory (scalar LFO params + the lockstep sample
-        # clock — the normal case): plain fancy indexing with UNBATCHED
-        # indices.  Under the compiler's per-stream vmap this lowers to an
-        # operand-batched gather (whole stream rows per index), measured
-        # 12x faster on v5e than the explicitly-broadcast per-element
-        # gather below (0.2 s vs 2.6 s at [128, 480k]) — and unlike a
-        # custom_vmap wrapper it stays differentiable for train/fit.
-        a = xx[..., i]
-        b = xx[..., i + 1]
+        # clock — the normal case).  Two lowerings:
+        #
+        # * barrel-shift (small/unbatched renders): a per-ELEMENT gather at
+        #   batch<=1 runs ~1 elt/cycle on v5e (~7 ms for a 10 s mono
+        #   render — it WAS config2, profiled r3: chorus 167.6 ms vs
+        #   24.3 ms passthrough floor per 20 renders).  The trajectory is
+        #   smooth (LFO slope depth*2*pi*rate samples/sample), so per
+        #   128-frame the integer offset is a per-frame constant plus a
+        #   tiny residual; the constant applies via log2(U) slice+select
+        #   stages and the residual via E masked shifted adds — all
+        #   full-width VPU ops, no gather anywhere.
+        # * operand-batched gather (large vmapped batches): with B streams
+        #   each index fetches a whole [B] row, measured 12x faster than
+        #   the explicitly-broadcast per-element gather (0.2 s vs 2.6 s at
+        #   [128, 480k]) — and the barrel frames would cost B x 11 MB of
+        #   HBM there.  Plain indexing stays differentiable for train/fit
+        #   (the barrel path is differentiable by construction: slices,
+        #   selects and adds).
+        shift = _barrel_plan(rate_hz, depth_s, base_s, L, T, sample_rate)
+        if shift is not None and _vmap_batch_size(xx) <= 8:
+            a, b = _barrel_taps(xx, i, *shift)
+        else:
+            a = xx[..., i]
+            b = xx[..., i + 1]
     else:
         # per-stream trajectories (modulated rate or per-stream clocks)
         ib = jnp.broadcast_to(i, (*xx.shape[:-1], T))
