@@ -44,7 +44,9 @@ def _cmd_render(args):
     from dsp_stuff_tpu.runtime.session import render_file
     set_policy(args.policy)
     outs, aux = render_file(args.graph, in_wavs=args.inputs or None,
-                            out_wav=args.out, seconds=args.seconds)
+                            out_wav=args.out, seconds=args.seconds,
+                            out_rate=args.out_rate, stereo_out=args.stereo,
+                            resample_inputs=args.resample_inputs)
     print(f"rendered {outs.shape[0]} channel(s) x {outs.shape[-1]} samples"
           + (f" -> {args.out}" if args.out else ""))
     for key in aux:
@@ -134,6 +136,12 @@ def main(argv=None):
                     help="render length for generator graphs")
     rp.add_argument("--policy", default="fast",
                     choices=("fast", "parity", "exact"))
+    rp.add_argument("--out-rate", type=int, default=None,
+                    help="export sample rate (sinc-16 device-rate path)")
+    rp.add_argument("--stereo", action="store_true",
+                    help="duplicate a mono render to stereo on export")
+    rp.add_argument("--resample-inputs", action="store_true",
+                    help="accept non-48kHz input WAVs (sinc-16 ingest)")
 
     fp = sub.add_parser("fit", help="gradient-fit graph sliders to a target")
     fp.add_argument("graph")
