@@ -40,3 +40,23 @@ while pos < total:
 y = np.concatenate(played)
 print(f"streamed {pos} samples in, {y.size} out, "
       f"peak {np.abs(y).max():.3f}, rms {np.sqrt((y**2).mean()):.3f}")
+
+# device-rate playback: drain the SAME session at 44.1 kHz interleaved
+# stereo, like the reference's output callback (sinc-16 + dup-to-stereo,
+# devices.rs:476-556).  Feed more signal, then pull device-sized chunks.
+sess2 = StreamSession(g)
+sess2.feed(inp.id, sig)
+while sess2.pump():
+    pass
+device_chunks = []
+for _ in range(10):
+    device_chunks.append(
+        sess2.drain_output(out.id, 441, device_rate=44_100, stereo=True))
+dev = np.concatenate(device_chunks)
+print(f"device-rate drain: {dev.size // 2} stereo frames @ 44.1 kHz, "
+      f"peak {np.abs(dev).max():.3f}")
+
+# pipelined mode: k blocks per dispatch (the remote-TPU streaming mode)
+sess3 = StreamSession(g)
+y3 = sess3.process_many({str(inp.id): sig[:128 * 300]})
+print(f"process_many: {y3.shape[-1]} samples in one dispatch")
