@@ -43,7 +43,20 @@ import numpy as np
 
 
 def gain_from_frames(frames):
-    """exp(-1/frames); 0 when frames == 0 (dasp_envelope calc_gain)."""
+    """exp(-1/frames); 0 when frames == 0 (dasp_envelope calc_gain).
+
+    Concrete (untraced, scalar) frame counts evaluate in NumPy f32 at
+    trace time: the gain becomes a compile-time constant identical on
+    every backend.  The recurrence amplifies a 1-ulp gain difference over
+    thousands of samples — the TPU exp kernel's rounding pushed a 10 s
+    parity render to ~-89.6 dBFS vs the NumPy oracle (caught by the r3
+    on-chip suite run); with host-computed gains the backends agree
+    exactly."""
+    if not isinstance(frames, jax.core.Tracer) and np.ndim(frames) == 0:
+        f = np.float32(frames)
+        if f == 0.0:
+            return jnp.float32(0.0)
+        return jnp.float32(np.exp(np.float32(-1.0) / f))
     frames = jnp.asarray(frames, jnp.float32)
     safe = jnp.where(frames == 0.0, 1.0, frames)
     return jnp.where(frames == 0.0, 0.0, jnp.exp(-1.0 / safe))

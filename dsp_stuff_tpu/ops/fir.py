@@ -71,20 +71,41 @@ def _conv_cgd(xp, h):
     return out.reshape((*batch_shape, -1))
 
 
+def _fft_fallback_dtype(dt):
+    """The TPU compiler has no f64 FFT at all ('Unexpected operand type
+    for FFT: f64' — hard compile error, found by the r3 on-chip suite
+    run), so parity-policy FFT convolutions compute their transforms in
+    f32 there.  Accuracy class on chip: ~eps_f32*log2(nfft) relative
+    (~-110 dBFS for 4k FFTs) — inside the -90 dBFS parity budget but not
+    the f64 oracle's bit pattern; PARITY.md 'Backend scope' carries the
+    caveat.  CPU keeps the true f64 transforms."""
+    if jnp.dtype(dt) != jnp.float64:
+        return dt
+    try:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    return jnp.float32 if on_tpu else dt
+
+
 def _fft_conv(x, h):
     """FFT convolution; overlap-save blocks when the signal is much longer
     than the IR (BASELINE config #4 names overlap-save: bounded FFT size,
     batched block transforms instead of one signal-length FFT).
-    Accumulation dtype follows the precision policy."""
+    Accumulation dtype follows the precision policy (f32 transforms on
+    TPU backends -- see _fft_fallback_dtype)."""
     T = x.shape[-1]
     N = h.shape[0]
     dt = x.dtype
+    fdt = _fft_fallback_dtype(dt)
+    if fdt != dt:
+        x = x.astype(fdt)
     nfft_os = 1 << max(int(np.ceil(np.log2(max(2 * N, 2)))), 10)
     if T <= 4 * nfft_os:
         # short signal: one FFT is cheaper than framing
         nfft = 1 << (T + N - 2).bit_length()
         X = jnp.fft.rfft(x, nfft)
-        H = jnp.fft.rfft(h.astype(dt), nfft)
+        H = jnp.fft.rfft(h.astype(fdt), nfft)
         return jnp.fft.irfft(X * H, nfft)[..., :T].astype(dt)
 
     # overlap-save: frames of nfft with N-1 samples of history each; every
@@ -102,7 +123,7 @@ def _fft_conv(x, h):
     W1 = xp[..., :K * hop].reshape(*batch, K, hop)
     W2 = xp[..., hop:hop + K * hop].reshape(*batch, K, hop)[..., :N - 1]
     frames = jnp.concatenate([W1, W2], axis=-1)            # [..., K, nfft]
-    H = jnp.fft.rfft(h.astype(dt), nfft)
+    H = jnp.fft.rfft(h.astype(fdt), nfft)
     Y = jnp.fft.irfft(jnp.fft.rfft(frames, nfft) * H, nfft)
     y = Y[..., N - 1:].reshape(*batch, K * hop)[..., :T]
     return y.astype(dt)

@@ -26,6 +26,18 @@ if not os.environ.get("DST_TEST_TPU"):
 
 import pytest
 
+# Whole-graph bitwise assertions under the 'exact' policy are scoped to
+# the CPU backend (PARITY.md "Backend scope"): on TPU the FMA/convert-sink
+# fence lowers to a best-effort optimization_barrier and graph-level
+# fusion re-contracts ops the fence pins on CPU.  On-chip the contract is
+# the parity policy's -90 dBFS budget, which the parity fuzz/oracle tests
+# (which DO run on chip) enforce.
+ON_TPU = bool(os.environ.get("DST_TEST_TPU"))
+bitwise_cpu_only = pytest.mark.skipif(
+    ON_TPU, reason="exact-policy bitwise contract is CPU-only "
+                   "(PARITY.md Backend scope); on-chip contract is the "
+                   "parity policy's -90 dBFS budget")
+
 
 @pytest.fixture(autouse=True)
 def _restore_precision_policy():

@@ -11,6 +11,8 @@ nobody hand-wrote."""
 import numpy as np
 import pytest
 
+from conftest import bitwise_cpu_only
+
 import dsp_stuff_tpu as dst
 from dsp_stuff_tpu.ids import IdSpace
 from dsp_stuff_tpu.utils import precision
@@ -206,6 +208,7 @@ def test_random_graph_segmented_state_chaining(seed):
 
 
 @pytest.mark.parametrize("seed", [4, 9, 16, 25, 36, 49, 64, 81, 100, 121, 169, 196])
+@bitwise_cpu_only
 def test_random_graph_exact_bitwise(seed):
     """The exact policy's BITWISE claim, fuzzed: random topologies over
     the reassociation-free node pool (PARITY.md scope) must reproduce the
@@ -222,6 +225,7 @@ def test_random_graph_exact_bitwise(seed):
 
 
 @pytest.mark.parametrize("seed", [9, 25, 49])
+@bitwise_cpu_only
 def test_random_graph_exact_segmented_bitwise(seed):
     """Under the exact policy, state chaining is BITWISE: two half-renders
     must equal the one-shot render bit for bit (sequential recurrences +

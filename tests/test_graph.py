@@ -4,6 +4,8 @@ import json
 
 import numpy as np
 import pytest
+
+from conftest import bitwise_cpu_only
 import jax
 import jax.numpy as jnp
 
@@ -65,6 +67,7 @@ def test_fan_in_averaging():
     assert_dbfs(outs[0], want, -110.0)
 
 
+@bitwise_cpu_only
 def test_fan_in_three_way_exact_bitwise():
     """>= 3 sources into one port: the f32 sum must follow the canonical
     link-insertion order bit-for-bit (compile._avg contract).  The reference
@@ -93,6 +96,7 @@ def test_fan_in_three_way_exact_bitwise():
     np.testing.assert_array_equal(np.asarray(outs[0]), want)
 
 
+@bitwise_cpu_only
 def test_chain_exact_bitwise_end_to_end():
     """input -> gain -> low_pass -> output, whole graph bit-exact vs the
     oracle under 'exact' (fan-in divisions + the sequential recurrence)."""
@@ -122,6 +126,7 @@ def test_chain_exact_bitwise_end_to_end():
     ("Chebyshev4", "chebyshev4", 2.3),
     ("RecipSoftClip", "recip_soft_clip", 2.3),
 ])
+@bitwise_cpu_only
 def test_distort_polynomial_modes_exact_bitwise(mode, ofn, level):
     """The non-transcendental shapers through a full graph must be
     bit-exact under 'exact' (FMA-contraction + divide-rewrite guards in
@@ -141,6 +146,7 @@ def test_distort_polynomial_modes_exact_bitwise(mode, ofn, level):
     np.testing.assert_array_equal(np.asarray(outs[0]), want)
 
 
+@bitwise_cpu_only
 def test_mix_exact_bitwise():
     """mix's b*r + a*(1-r) (three separate f32 roundings in the reference,
     mix.rs:45) through a graph under 'exact'."""
@@ -166,6 +172,7 @@ def test_mix_exact_bitwise():
     np.testing.assert_array_equal(np.asarray(outs[0]), want)
 
 
+@bitwise_cpu_only
 def test_reverb_exact_bitwise_via_graph():
     """Feedback comb through a graph: t = delayed*decay; y = x + t, two
     roundings per sample (reverb.rs:87-92), unfused under 'exact'."""
