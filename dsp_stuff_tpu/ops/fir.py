@@ -81,11 +81,8 @@ def _fft_fallback_dtype(dt):
     caveat.  CPU keeps the true f64 transforms."""
     if jnp.dtype(dt) != jnp.float64:
         return dt
-    try:
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        on_tpu = False
-    return jnp.float32 if on_tpu else dt
+    from dsp_stuff_tpu.utils.precision import tpu_backend
+    return jnp.float32 if tpu_backend() else dt
 
 
 def _fft_conv(x, h):

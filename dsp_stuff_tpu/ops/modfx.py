@@ -105,11 +105,13 @@ def _barrel_taps(xx, i, c0: int, U: int, E: int):
        (measured 1.99 ms vs 5.1 ms for a 136-wide unaligned slice and
        ~7 ms for the plain per-element gather), compiling in ~1 s;
     3. the residual (U_f mod 8) + e in [0, 8+E) picks between shifted
-       copies via one-hot masked adds — full-width VPU ops.
+       copies via one-hot where-selects — full-width VPU ops (selects,
+       not 0/1-mask multiplies, so a NaN/Inf input sample cannot smear
+       across the outputs that merely share its window column).
 
     Returns values bit-identical to the plain gathers (the only rewrite
-    risk is 0.0*pad + x flushing a -0.0, the documented sign-of-zero
-    divergence class)."""
+    risk is the documented sign-of-zero divergence class: a selected
+    -0.0 accumulates to +0.0)."""
     f32 = jnp.float32
     T = i.shape[0]
     F = _BARREL_FRAME
@@ -155,9 +157,13 @@ def _barrel_taps(xx, i, c0: int, U: int, E: int):
     acc_a = jnp.zeros((*batch, Tf, F), f32)
     acc_b = jnp.zeros((*batch, Tf, F), f32)
     for ev in range(S + E - 1):
-        m = (r2 == ev).astype(f32)
-        acc_a = acc_a + m * win[..., ev:ev + F]
-        acc_b = acc_b + m * win[..., ev + 1:ev + 1 + F]
+        # where-select, NOT a 0/1 mask multiply: 0.0 * NaN = NaN would
+        # smear a single bad input sample across every output sharing its
+        # window column (up to S+E-1 extra NaNs), breaking per-node NaN
+        # attribution.  For finite values the two forms are bit-identical.
+        m = r2 == ev
+        acc_a = acc_a + jnp.where(m, win[..., ev:ev + F], f32(0))
+        acc_b = acc_b + jnp.where(m, win[..., ev + 1:ev + 1 + F], f32(0))
     a = acc_a.reshape(*batch, Tf * F)[..., :T]
     b = acc_b.reshape(*batch, Tf * F)[..., :T]
     return a, b
@@ -246,7 +252,13 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
         #   (the barrel path is differentiable by construction: slices,
         #   selects and adds).
         shift = _barrel_plan(rate_hz, depth_s, base_s, L, T, sample_rate)
-        if shift is not None and _vmap_batch_size(xx) <= 8:
+        # total batch = vmap-hidden batch x explicit leading dims (an
+        # un-vmapped [B, T] call is just as batched: at B=512 the barrel
+        # frames would materialize B x 11 MB while the operand-batched
+        # gather fetches whole [B] rows per index)
+        explicit_b = int(np.prod(xx.shape[:-1], dtype=np.int64)) \
+            if xx.ndim > 1 else 1
+        if shift is not None and _vmap_batch_size(xx) * explicit_b <= 8:
             a, b = _barrel_taps(xx, i, *shift)
         else:
             a = xx[..., i]

@@ -103,11 +103,10 @@ def _first_order_blocked_static(a: float, b, y0):
 
 
 def _tpu_backend() -> bool:
-    """True when the default backend can run compiled Mosaic kernels."""
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    """True when the default backend can run compiled Mosaic kernels
+    (delegates to the canonical probe in utils.precision)."""
+    from dsp_stuff_tpu.utils.precision import tpu_backend
+    return tpu_backend()
 
 
 def _use_pallas() -> bool:

@@ -28,6 +28,20 @@ from dsp_stuff_tpu.compiler.compile import compile_graph
 from dsp_stuff_tpu.graph import Graph
 
 
+def _freeze_params(p):
+    """Hashable snapshot of a params pytree (dicts / scalars / arrays),
+    used to key the chunk-fn cache on params CONTENT."""
+    if p is None:
+        return None
+    if isinstance(p, dict):
+        return tuple(sorted((str(k), _freeze_params(v)) for k, v in p.items()))
+    if isinstance(p, (list, tuple)):
+        return tuple(_freeze_params(v) for v in p)
+    if isinstance(p, np.ndarray):
+        return (p.shape, p.dtype.str, p.tobytes())
+    return p
+
+
 class _PyRing:
     """NumPy fallback for native.Ring with identical semantics: an ndarray
     circular buffer (vectorized slice copies -- no per-sample Python, so
@@ -149,9 +163,12 @@ class StreamSession:
         The per-dispatch tunnel cost (~7 ms) makes single 128-sample
         blocks stream slower than real time on a remote TPU; pipelining k
         blocks through a ``lax.scan`` inside one jitted call amortizes it
-        to ~7/k ms per block while preserving block-exact semantics (the
+        to ~7/k ms per block while preserving block-exact semantics: the
         scan body IS the single-block step, state carried across
-        iterations — same samples as k process() calls).
+        iterations.  Under the fast policy XLA may contract a*y+b
+        differently inside the scan body than in the straight-line block
+        fn (fusion-context FMA), so vs k ``process()`` calls the samples
+        agree to the 1-ulp class, bit-exactly under exact/parity fences.
 
         inputs: {input_node_id: [k*block]} / [n_inputs, k*block] / None
         (then ``n_blocks`` is required).  Returns [n_out, k*block].
@@ -160,6 +177,13 @@ class StreamSession:
         if inputs is None:
             if not n_blocks:
                 raise ValueError("process_many() needs inputs or n_blocks")
+            k = int(n_blocks)
+            ext = {str(i): np.zeros((k, B), np.float32)
+                   for i in self.cg.input_ids}
+        elif isinstance(inputs, dict) and not inputs:
+            if not n_blocks:
+                raise ValueError("process_many({}) needs n_blocks: an empty "
+                                 "dict carries no block count")
             k = int(n_blocks)
             ext = {str(i): np.zeros((k, B), np.float32)
                    for i in self.cg.input_ids}
@@ -192,11 +216,20 @@ class StreamSession:
 
     @property
     def _chunk_fn(self):
-        """jitted scan-over-blocks step (built once; k is a traced scan
-        length so every k shares one compilation per input structure)."""
+        """jitted scan-over-blocks step.
+
+        ``self.params`` is baked in at TRACE time (the recurrence ops build
+        their Toeplitz/impulse-tap constants from concrete params in NumPy;
+        a traced param would rebuild them inside every scan iteration --
+        CLAUDE.md), so the cache is keyed on a params snapshot: changing
+        ``self.params`` between calls triggers a retrace/recompile, after
+        which the audio matches k ``process()`` calls under the same
+        params.  The scan *length* k is static per input shape -- each
+        distinct block count compiles once and is cached by shape.
+        """
+        key = _freeze_params(self.params)
         fn = getattr(self, "_chunk_fn_cached", None)
-        if fn is None:
-            import jax.numpy as jnp
+        if fn is None or getattr(self, "_chunk_fn_key", None) != key:
             step = self.cg.fn
             params = self.params
             out_ids = list(self.cg.output_ids)
@@ -209,6 +242,7 @@ class StreamSession:
                 return jax.lax.scan(body, state, ext_blocks)
 
             fn = self._chunk_fn_cached = run
+            self._chunk_fn_key = key
         return fn
 
     # -- ring-buffered device-style API -------------------------------------

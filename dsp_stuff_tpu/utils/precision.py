@@ -128,6 +128,18 @@ def mul_unfused(a, b):
 _warned_exact_tpu = False
 
 
+def tpu_backend() -> bool:
+    """True when the default JAX backend is a TPU — including the axon
+    remote-PJRT tunnel.  The single source of truth for every platform
+    gate (Mosaic kernel routing, the f64-FFT fallback, the exact-policy
+    fence warning): if a backend name is ever added or renamed, this is
+    the only line to touch."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _warn_exact_on_tpu_once() -> None:
     """The 'exact' policy's bit-order guarantee is established on the CPU
     backend; on TPU the fence degrades to optimization_barrier (see
@@ -137,11 +149,7 @@ def _warn_exact_on_tpu_once() -> None:
     global _warned_exact_tpu
     if _warned_exact_tpu:
         return
-    try:
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return
-    if on_tpu:
+    if tpu_backend():
         _warned_exact_tpu = True
         import warnings
         warnings.warn(

@@ -37,3 +37,14 @@ def test_oracle_chain_matches_graph_parity():
     err = np.max(np.abs(got.astype(np.float64) - want.astype(np.float64)))
     dbfs = 20 * np.log10(err) if err > 0 else -np.inf
     assert dbfs <= -90.0, dbfs
+
+
+def test_max_throughput_metric_runs(monkeypatch):
+    """The batch-aggregate section must keep returning audio-seconds per
+    wall-second across ALL streams (B * seconds * n_chain / wall)."""
+    import bench
+    monkeypatch.setenv("DST_BENCH_MAXBATCH", "2")
+    monkeypatch.setattr(bench, "SR", 4800)   # 10x shorter render
+    monkeypatch.setattr(bench, "N_TIMED", 1)
+    r = bench._max_throughput_metric(np.random.default_rng(0))
+    assert r > 0.0

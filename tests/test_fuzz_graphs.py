@@ -242,3 +242,43 @@ def test_random_graph_exact_segmented_bitwise(seed):
     got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
     np.testing.assert_array_equal(got, np.asarray(full)[0],
                                   err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", [2, 7, 21])
+def test_random_graph_streaming_matches_offline(seed):
+    """The StreamSession surface fuzzed against the offline render on
+    random topologies: 128-sample process() blocks and mixed-k
+    process_many() chunks must carry every node type's state (cycle
+    context, chorus history, FIR warm-up, oscillator clocks) across the
+    API exactly like one offline render.  Blocked lowerings legitimately
+    reassociate differently at different T, so the bound is the parity
+    budget, not bitwise."""
+    from dsp_stuff_tpu.runtime.stream import StreamSession
+    g, inp_id, out_id = _random_graph(seed)
+    rng = np.random.default_rng(6000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    with precision.policy("fast"):
+        offline, _, _ = dst.render(g, {str(inp_id): x})
+
+        sess = StreamSession(g)
+        blocks = [sess.process({str(inp_id): x[i:i + 128]})[0]
+                  for i in range(0, T, 128)]
+        streamed = np.concatenate(blocks)
+
+        sess2 = StreamSession(g)
+        k1 = 5 * 128
+        got1 = sess2.process_many({str(inp_id): x[:k1]})[0]
+        got2 = sess2.process_many({str(inp_id): x[k1:]})[0]
+        pipelined = np.concatenate([got1, got2])
+
+    ref = np.asarray(offline)[0]
+    db_s = oracle.max_err_dbfs(streamed, ref)
+    db_p = oracle.max_err_dbfs(pipelined, ref)
+    assert db_s <= -90.0, f"seed {seed}: streaming {db_s:.1f} dBFS"
+    assert db_p <= -90.0, f"seed {seed}: pipelined {db_p:.1f} dBFS"
+    # the two streaming forms share block boundaries and state carry;
+    # under the fast policy XLA may contract a*y+b differently inside
+    # the scan body than in the straight-line block fn (fusion-context
+    # FMA), so the residual is the 1-ulp class, not zero
+    db_x = oracle.max_err_dbfs(pipelined, streamed)
+    assert db_x <= -120.0, f"seed {seed}: forms differ {db_x:.1f} dBFS"

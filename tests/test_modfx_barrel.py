@@ -136,3 +136,61 @@ def test_barrel_gate_refuses_traced_params(monkeypatch):
             x, r, depth, base, 0.5, hist, 0))(jnp.float32(0.8))
     assert not seen          # gather path taken
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_barrel_nan_containment(monkeypatch):
+    """A NaN input sample must poison exactly the same output set as the
+    gather path — where-selects, not 0/1-mask multiplies (0.0 * NaN = NaN
+    would smear it across every output sharing the window column)."""
+    rng = np.random.default_rng(7)
+    rate, depth, base, T = 0.8, 0.004, 0.012, 128 * 80
+    L = modfx.max_delay_samples(base, depth)
+    x = (rng.standard_normal(T) * 0.5).astype(np.float32)
+    x[T // 2] = np.nan
+    hist = (rng.standard_normal(L) * 0.3).astype(np.float32)
+    with precision.policy("fast"):
+        assert modfx._barrel_plan(rate, depth, base, L, T, 48_000)
+        (y1, _, _), (y2, _, _) = _both_paths(
+            x, rate, depth, base, 0.5, hist, 0, monkeypatch)
+    n1 = np.isnan(np.asarray(y1))
+    n2 = np.isnan(np.asarray(y2))
+    np.testing.assert_array_equal(n1, n2)
+    assert n1.sum() > 0           # the NaN does reach the output
+
+
+def test_barrel_gate_counts_explicit_batch():
+    """An un-vmapped [B, T] call is just as batched as a vmapped one: at
+    B > 8 the operand-batched gather must win (the barrel frames would
+    materialize B x 11 MB of HBM)."""
+    rng = np.random.default_rng(8)
+    B, T = 16, 128 * 80
+    rate, depth, base = 0.8, 0.004, 0.012
+    L = modfx.max_delay_samples(base, depth)
+    x = (rng.standard_normal((B, T)) * 0.5).astype(np.float32)
+    hist = (rng.standard_normal((B, L)) * 0.3).astype(np.float32)
+
+    called = []
+    orig = modfx._barrel_taps
+    def spy(*a, **k):
+        called.append(True)
+        return orig(*a, **k)
+    try:
+        modfx._barrel_taps = spy
+        with precision.policy("fast"):
+            y, _, _ = modfx.modulated_delay(
+                x, rate, depth, base, 0.5, hist, 0)
+    finally:
+        modfx._barrel_taps = orig
+    assert not called, "explicit [B,T] batch must take the gather path"
+    assert np.isfinite(np.asarray(y)).all()
+
+    # and a small explicit batch still uses the barrel lowering
+    called.clear()
+    try:
+        modfx._barrel_taps = spy
+        with precision.policy("fast"):
+            modfx.modulated_delay(x[:2], rate, depth, base, 0.5,
+                                  hist[:2], 0)
+    finally:
+        modfx._barrel_taps = orig
+    assert called, "B=2 explicit batch should keep the barrel path"

@@ -355,3 +355,38 @@ def test_stream_feedback_graph_matches_offline():
               for i in range(0, T, 128)]
     streamed = np.concatenate([b[0] for b in blocks])
     np.testing.assert_allclose(streamed, offline[0], rtol=0, atol=1e-6)
+
+
+def test_process_many_honors_params_change():
+    """A ``sess.params`` update must reach process_many() exactly like
+    process(): params are baked at trace time (trace-time-constant rule),
+    so the chunk fn re-traces when the snapshot changes."""
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    gn = g.add("gain", level=1.0)
+    out = g.add("output")
+    g.chain(inp, gn, out)
+    x = np.ones(128 * 2, np.float32) * 0.5
+
+    s = StreamSession(g)
+    base = s.process_many({str(inp.id): x})[0]
+    s.params = {str(gn.id): {"level": 2.0}}
+    via_many = s.process_many({str(inp.id): x})[0]
+    s2 = StreamSession(g, params={str(gn.id): {"level": 2.0}})
+    via_proc = np.concatenate(
+        [s2.process({str(inp.id): x[i:i + 128]})[0] for i in (0, 128)])
+    np.testing.assert_array_equal(via_many, via_proc)
+    assert np.max(np.abs(via_many)) > 1.5 * np.max(np.abs(base))
+
+
+def test_process_many_empty_dict():
+    """process_many({}) must behave like process({}): zeros for every
+    input — but needs n_blocks to know the length."""
+    g, inp_id = _chain()
+    s = StreamSession(g)
+    with pytest.raises(ValueError, match="n_blocks"):
+        s.process_many({})
+    got = s.process_many({}, n_blocks=3)
+    s2 = StreamSession(g)
+    want = np.concatenate([s2.process({})[0] for _ in range(3)])
+    np.testing.assert_array_equal(got[0], want)
