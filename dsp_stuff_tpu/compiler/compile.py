@@ -275,6 +275,16 @@ class CompiledGraph:
         if isinstance(inputs, dict):
             ext = {str(k): jnp.asarray(v, jnp.float32)
                    for k, v in inputs.items()}
+            want = 1 + len(batch_shape)
+            for k, v in ext.items():
+                if v.ndim != want:
+                    raise ValueError(
+                        f"input {k!r} has shape {v.shape}; expected "
+                        f"{want}-d [*batch_shape, T] for "
+                        f"batch_shape={batch_shape}.  Pass "
+                        f"batch_shape=... to render() for batched "
+                        f"streams (stateful nodes need vmapped state, "
+                        f"not broadcasting).")
             missing = [i for i in self.input_ids if str(i) not in ext]
             if missing:
                 Td = next(iter(ext.values())).shape[-1] if ext else T

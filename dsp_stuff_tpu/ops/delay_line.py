@@ -108,30 +108,38 @@ def _feedback_comb_impl(x, decay, history, D: int, associative: bool,
     nchunks = -(-T // D)
     pad = nchunks * D - T
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    xc = jnp.moveaxis(xp.reshape(*batch, nchunks, D), -2, 0)   # [K, ..., D]
+    # batch-major [..., K, D] for the parallel paths: a contiguous
+    # reshape, NOT a chunk-major moveaxis — at batch 512 the two
+    # transposes (to [K, ..., D] and back) were full HBM read+write
+    # passes over the signal, ~1/3 of the whole node's cost
+    xcb = xp.reshape(*batch, nchunks, D)
 
     if associative and nchunks > 16:
-        yc, last = _comb_chunks_blocked(xc, decay, history)
+        yb, last = _comb_chunks_blocked(xcb, decay, history)
     elif associative and nchunks > 1:
-        # fold the carried history into chunk 0, then scan the affine maps
-        xc = xc.at[0].add(history * decay)
-        a = jnp.full((nchunks,) + (1,) * (xc.ndim - 1), decay, f32)
+        # fold the carried history into chunk 0, then scan the affine
+        # maps along the chunk axis in place
+        xcb = xcb.at[..., 0, :].add(history * decay)
+        a = jnp.full((*(1,) * len(batch), nchunks, 1), decay, f32)
 
         def combine(l, r):
             a1, b1 = l
             a2, b2 = r
             return a2 * a1, a2 * b1 + b2
 
-        _, yc = jax.lax.associative_scan(combine, (a, xc), axis=0)
-        last = yc[-1]
+        _, yb = jax.lax.associative_scan(combine, (a, xcb),
+                                         axis=xcb.ndim - 2)
+        last = yb[..., -1, :]
     else:
         def step(prev, xk):
             y = xk + mul(prev, decay)
             return y, y
 
-        last, yc = jax.lax.scan(step, history, xc)
+        last, yc = jax.lax.scan(step, history,
+                                jnp.moveaxis(xcb, -2, 0))
+        yb = jnp.moveaxis(yc, 0, -2)
 
-    y = jnp.moveaxis(yc, 0, -2).reshape(*batch, nchunks * D)[..., :T]
+    y = yb.reshape(*batch, nchunks * D)[..., :T]
 
     if pad == 0:
         new_hist = last
@@ -141,49 +149,62 @@ def _feedback_comb_impl(x, decay, history, D: int, associative: bool,
     return y, new_hist
 
 
-def _comb_chunks_blocked(xc, decay, history, G: int = 128):
+def _comb_chunks_blocked(xcb, decay, history, G: int = 128):
     """Solve y_k = decay * y_{k-1} + x_k over the chunk axis with Toeplitz
     matmuls (same scheme as ops/scan.py:_first_order_blocked, but the
     recurrence elements are whole [D]-vectors).
 
     XLA lowers a K-long associative_scan as a logarithmic while-loop of
     dynamic slices (~1 ms/render at K=1200 on v5e); one batched
-    [G, G] x [K/G, G, D] contraction plus a tiny carry chain replaces it.
+    [G, G] x [..., G, D] contraction plus a tiny carry chain replaces it.
+    The chunk axis stays batch-major throughout: [..., KG, G, D] is the
+    natural [M, K] x [K, N] MXU layout for the einsum, and avoids the
+    two full-signal HBM transposes a chunk-major layout costs.
 
-    xc      -- [K, ..., D] chunk-major input
+    xcb     -- [..., K, D] batch-major chunked input
     history -- [..., D] carry into chunk 0
-    Returns (yc [K, ..., D], last [..., D]).
+    Returns (yb [..., K, D], last [..., D]).
     """
     f32 = jnp.float32
-    K = xc.shape[0]
+    K = xcb.shape[-2]
+    D = xcb.shape[-1]
+    batch = xcb.shape[:-2]
     KG = -(-K // G)
     pad = KG * G - K
-    xp = jnp.pad(xc, [(0, pad)] + [(0, 0)] * (xc.ndim - 1))
-    Xg = xp.reshape(KG, G, *xc.shape[1:])                  # [KG, G, ..., D]
+    xp = jnp.pad(xcb, [(0, 0)] * (xcb.ndim - 2) + [(0, pad), (0, 0)])
+    Xg = xp.reshape(*batch, KG, G, D)                      # [..., KG, G, D]
 
     # LtG[i, j] = decay^(i-j) for i >= j; the shared helper owns the
     # concrete-vs-traced constant split
     from dsp_stuff_tpu.ops.scan import scalar_power_toeplitz
     pows, LtG, dG = scalar_power_toeplitz(decay, G, row_ge_col=True)
 
-    z = jnp.einsum("ij,kj...->ki...", LtG, Xg,
-                   preferred_element_type=f32,
-                   precision=jax.lax.Precision.HIGHEST)    # [KG, G, ..., D]
-
-    # carry across super-chunks: e_m = decay^G e_{m-1} + z[m, -1], e_-1=hist
-    ends = z[:, G - 1]                                     # [KG, ..., D]
-    ends = ends.at[0].add(dG * history)
-    a = jnp.full((KG,) + (1,) * (ends.ndim - 1), dG, f32)
+    # two-phase (see ops/scan._first_order_blocked): super-chunk end
+    # states first via one mat-vec over the last Toeplitz row (avoids
+    # materializing the signal-sized zero-state response just to slice
+    # one column out of it), then the carry chain, then y in ONE GEMM
+    # whose +carry epilogue XLA fuses.
+    # e_m = decay^G e_{m-1} + z[m, -1],  z[m, -1] = sum_j d^(G-1-j) x[m, j]
+    ends = jnp.einsum("j,...jd->...d", pows[G - 1::-1], Xg,
+                      preferred_element_type=f32,
+                      precision=jax.lax.Precision.HIGHEST)  # [..., KG, D]
+    ends = ends.at[..., 0, :].add(dG * history)
+    a = jnp.full((*(1,) * len(batch), KG, 1), dG, f32)
 
     def combine(l, r):
         a1, b1 = l
         a2, b2 = r
         return a2 * a1, a2 * b1 + b2
 
-    _, e = jax.lax.associative_scan(combine, (a, ends), axis=0)  # [KG, ..., D]
-    carry_in = jnp.concatenate([history[None], e[:-1]], axis=0)  # [KG, ..., D]
+    _, e = jax.lax.associative_scan(combine, (a, ends),
+                                    axis=ends.ndim - 2)    # [..., KG, D]
+    carry_in = jnp.concatenate(
+        [jnp.broadcast_to(history[..., None, :], (*batch, 1, D)),
+         e[..., :-1, :]], axis=-2)                         # [..., KG, D]
 
-    shape = (G,) + (1,) * (xc.ndim - 1)
-    yg = z + carry_in[:, None] * pows[1:].reshape(shape)[None]
-    yc = yg.reshape(KG * G, *xc.shape[1:])[:K]
-    return yc, yc[K - 1]
+    yg = jnp.einsum("ij,...jd->...id", LtG, Xg,
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST) \
+        + carry_in[..., :, None, :] * pows[1:].reshape(G, 1)
+    yb = yg.reshape(*batch, KG * G, D)[..., :K, :]
+    return yb, yb[..., K - 1, :]

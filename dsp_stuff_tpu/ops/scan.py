@@ -212,16 +212,21 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     # owns the concrete-vs-traced constant split
     pows, Lt, aC = scalar_power_toeplitz(a, C)
 
-    z = jnp.einsum("...kc,cd->...kd", B, Lt,
-                   preferred_element_type=f32,
-                   precision=jax.lax.Precision.HIGHEST)    # [..., K, C]
-
+    # two-phase evaluation: the chunk-end states first, via one cheap
+    # mat-vec (the Toeplitz's last column, a^(C-1-j)) -- NOT by slicing
+    # the full zero-state response z out of a materialized GEMM result.
+    # z is as large as the signal; at batch 512 its HBM round-trip was
+    # ~1/3 of the op.  With ends known, the carry chain resolves and the
+    # final GEMM emits y directly, its +carry epilogue fused by XLA.
+    #
     # carry recurrence over chunks: e_k = a^C e_{k-1} + z[k, -1], e_{-1}=y0.
     # This is itself a constant-coefficient first-order recurrence of
     # length K, so recurse: T=2.88M resolves as 2-3 matmul levels
     # (11250 -> 44 -> direct) instead of a log-K Blelloch scan whose ~14
     # dispatch-bound passes dominated the op's runtime on v5e.
-    ends = z[..., :, C - 1]                                # [..., K]
+    ends = jnp.einsum("...kc,c->...k", B, pows[C - 1::-1],
+                      preferred_element_type=f32,
+                      precision=jax.lax.Precision.HIGHEST)  # [..., K]
     y0b = jnp.broadcast_to(jnp.asarray(y0, f32), batch)
     if K > C:
         e = _first_order_blocked(aC, ends, y0b, C)
@@ -245,7 +250,12 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     carry_in = jnp.concatenate(
         [y0b[..., None], e[..., :-1]], axis=-1)            # [..., K]
 
-    y = z + carry_in[..., :, None] * pows[1:][None, :]     # + e_{k-1} a^(i+1)
+    # y[k, i] = z[k, i] + e_{k-1} a^(i+1), z emitted by the GEMM with the
+    # carry correction as a fused epilogue
+    y = jnp.einsum("...kc,cd->...kd", B, Lt,
+                   preferred_element_type=f32,
+                   precision=jax.lax.Precision.HIGHEST) \
+        + carry_in[..., :, None] * pows[1:][None, :]
     return y.reshape(*batch, K * C)[..., :T].astype(f32)
 
 
@@ -442,25 +452,24 @@ def _vec2_recurrence(M, w, C2: int = 128, M_np=None):
 def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     """Second-order recurrence as MXU matmuls (block-parallel IIR).
 
-    Feed-forward first:  f[t] = b0 x[t] + b1 x[t-1] + b2 x[t-2]  (carried
-    x-history prefix), elementwise.  Then the pure recurrence
-    y[t] = -a1 y[t-1] - a2 y[t-2] + f[t] splits into chunks of C:
+    The full filter's truncated impulse response g[t] = b0 h[t] +
+    b1 h[t-1] + b2 h[t-2] (h = recursive-part IR, h[0]=1) folds the
+    numerator INTO the Toeplitz, so x feeds the GEMM directly -- no
+    feed-forward pass, no x-history concatenate (at batch 512 those two
+    elementwise passes were ~40% of the op).  Chunks of C:
 
-      * h = truncated impulse response of the recursive part (length C+1,
-        h[0]=1), computed by a tiny C-step scan at run time (coefficients
-        may be traced/differentiable);
-      * per-chunk zero-state response  z[k, i] = sum_{j<=i} h[i-j] f[k, j]
-        = (F @ Lt)[k, i]  with the [C, C] Toeplitz Lt[j, i] = h[i-j] --
-        one batched GEMM on the MXU;
-      * initial-condition responses follow from linearity:
-        y[-1]=1 contributes h[i+1], y[-2]=1 contributes -a2 h[i], so the
-        chunk-boundary state obeys  s_k = M s_{k-1} + w_k  with constant
-        M = [[h[C], -a2 h[C-1]], [h[C-1], -a2 h[C-2]]] and
-        w_k = (z[k, C-1], z[k, C-2]) -- a K-length 2-dim recurrence
-        solved by associative scan (C times fewer elements than scanning
-        per sample, which is what made the naive lowering ~15x slower
-        than HBM speed-of-light on a v5e);
-      * fold back:  y[k, i] = z[k, i] + s1 h[i+1] - s2 a2 h[i].
+      * per-chunk zero-state response  z[k, i] = sum_{j<=i} g[i-j] x[k, j]
+        = (X @ Ltg)[k, i]  -- one batched GEMM on the MXU;
+      * EVERY chunk's f[k, 0] / f[k, 1] reach back two samples into the
+        previous chunk (chunk 0 into the carried x1, x2), contributing
+        d0[k] h[i] + d1[k] h[i-1] with d0 = b1 x[k-1, C-1] + b2 x[k-1,
+        C-2], d1 = b2 x[k-1, C-1] -- a per-chunk rank-2 update from two
+        strided column reads, not a signal-wide pass;
+      * the chunk-end pair (z[k, C-1], z[k, C-2]) drives the
+        boundary-state recurrence s_k = M s_{k-1} + w_k (constant
+        M = [[h[C], -a2 h[C-1]], [h[C-1], -a2 h[C-2]]], linearity of
+        the ICs), resolved by _vec2_recurrence; the
+        + s1 h[i+1] - s2 a2 h[i] fold is a fused elementwise epilogue.
     """
     f32 = jnp.float32
     x1, x2, y1, y2 = state
@@ -468,9 +477,6 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     batch = x.shape[:-1]
     concrete = all(isinstance(c, (int, float, np.floating))
                    for c in (a1, a2, b0, b1, b2))
-
-    xp = jnp.concatenate([x2[..., None], x1[..., None], x], axis=-1)
-    f = b0 * xp[..., 2:] + b1 * xp[..., 1:-1] + b2 * xp[..., :-2]
 
     # truncated impulse response h[0..C] of y[t] = -a1 y[t-1] - a2 y[t-2].
     # Concrete coefficients: NumPy f64 recurrence, cast once -- a
@@ -484,8 +490,13 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
             cur = -float(a1) * hm1 - float(a2) * hm2
             h64[t] = cur
             hm2, hm1 = hm1, cur
-        h_np = h64.astype(np.float32)
-        h = jnp.asarray(h_np)
+        h = jnp.asarray(h64.astype(np.float32))
+        # numerator-folded IR in f64, cast once
+        g64 = float(b0) * h64
+        g64[1:] += float(b1) * h64[:-1]
+        g64[2:] += float(b2) * h64[:-2]
+        g_np = g64.astype(np.float32)
+        g = jnp.asarray(g_np)
     else:
         A1 = jnp.stack([jnp.stack([-a1, -a2]),
                         jnp.asarray([1.0, 0.0], f32)])     # [2, 2]
@@ -499,25 +510,53 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
         Apow = jax.lax.associative_scan(h_combine, Ab, axis=0)  # A^1..A^C
         # h[t] = (A^t)[0, 0] applied to h-state [h0, h_-1] = [1, 0]
         h = jnp.concatenate([jnp.ones((1,), f32), Apow[:, 0, 0]])   # [C+1]
+        zero1 = jnp.zeros((1,), f32)
+        g = (b0 * h + b1 * jnp.concatenate([zero1, h[:-1]])
+             + b2 * jnp.concatenate([zero1, zero1, h[:-2]]))
+        g_np = None
 
     K = -(-T // C)
     pad = K * C - T
-    fp = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(0, pad)])
-    F = fp.reshape(*batch, K, C)
+    xpad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    X = xpad.reshape(*batch, K, C)
 
+    # cross-chunk numerator corrections: f[k, 0] reaches b1 x[k-1, C-1] +
+    # b2 x[k-1, C-2] and f[k, 1] reaches b2 x[k-1, C-1] (chunk 0 uses the
+    # carried x1, x2).  Per chunk that is a rank-2 [C]-profile update
+    # d0[k] h[i] + d1[k] h[i-1] -- cheap strided reads + fused epilogues,
+    # never a signal-wide pass.
+    xlast1 = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(x1, f32), batch)[..., None],
+         X[..., :-1, C - 1]], axis=-1)                     # [..., K]
+    xlast2 = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(x2, f32), batch)[..., None],
+         X[..., :-1, C - 2]], axis=-1)                     # [..., K]
+    d0 = b1 * xlast1 + b2 * xlast2                         # [..., K]
+    d1 = b2 * xlast1                                       # [..., K]
+    hs = jnp.concatenate([jnp.zeros((1,), f32), h[:C - 1]])  # h[i-1], [C]
+
+    # zero-state response via the numerator-folded Toeplitz
+    # Ltg[c, d] = g[d - c] for d >= c -- ONE signal-sized GEMM.  (A
+    # two-phase ends-matvec-then-fused-GEMM variant, like
+    # _first_order_blocked's, measured SLOWER here at batch 512 --
+    # 32.0 vs 28.8 ms -- because the second x read costs more than the
+    # z column slices it avoids; XLA fuses the slice reads fine.)
     if concrete:
         i = np.arange(C)
-        Lt = jnp.asarray(np.where(
+        Ltg = jnp.asarray(np.where(
             i[:, None] <= i[None, :],
-            h_np[np.clip(i[None, :] - i[:, None], 0, C)], 0.0
+            g_np[np.clip(i[None, :] - i[:, None], 0, C)], 0.0
         ).astype(np.float32))
     else:
         i = jnp.arange(C)
-        Lt = jnp.where(i[:, None] <= i[None, :],
-                       h[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
-    z = jnp.einsum("...kc,cd->...kd", F, Lt,
+        Ltg = jnp.where(i[:, None] <= i[None, :],
+                        g[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
+    z = jnp.einsum("...kc,cd->...kd", X, Ltg,
                    preferred_element_type=f32,
                    precision=jax.lax.Precision.HIGHEST)    # [..., K, C]
+    w = jnp.stack([z[..., :, C - 1], z[..., :, C - 2]], axis=-1)
+    w = w + jnp.stack([d0 * h[C - 1] + d1 * h[C - 2],
+                       d0 * h[C - 2] + d1 * h[C - 3]], axis=-1)
 
     # boundary-state recurrence s_k = M s_{k-1} + w_k over K chunks
     if concrete:
@@ -529,7 +568,6 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
         M_np = None
         M = jnp.stack([jnp.stack([h[C], -a2 * h[C - 1]]),
                        jnp.stack([h[C - 1], -a2 * h[C - 2]])])   # [2, 2]
-    w = jnp.stack([z[..., :, C - 1], z[..., :, C - 2]], axis=-1)  # [..., K, 2]
     s0 = jnp.stack([jnp.broadcast_to(jnp.asarray(y1, f32), batch),
                     jnp.broadcast_to(jnp.asarray(y2, f32), batch)],
                    axis=-1)                                # [..., 2]
@@ -538,11 +576,19 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     # carry INTO chunk k is s_{k-1} (s0 for k = 0)
     s_in = jnp.concatenate([s0[..., None, :], s[..., :-1, :]], axis=-2)
 
-    y = (z + s_in[..., :, 0:1] * h[1:][None, :]
-         - a2 * s_in[..., :, 1:2] * h[:-1][None, :])
+    # fold: IC response + cross-chunk numerator corrections as fused
+    # elementwise epilogues over z
+    y = (z
+         + s_in[..., :, 0:1] * h[1:][None, :]
+         - a2 * s_in[..., :, 1:2] * h[:-1][None, :]
+         + d0[..., :, None] * h[:C][None, :]
+         + d1[..., :, None] * hs[None, :])
     y = y.reshape(*batch, K * C)[..., :T].astype(f32)
 
-    new_state = (x[..., -1], xp[..., -2], y[..., -1], y[..., -2])
+    x1n = x[..., -1]
+    x2n = x[..., -2] if T >= 2 else jnp.broadcast_to(
+        jnp.asarray(x1, f32), batch)
+    new_state = (x1n, x2n, y[..., -1], y[..., -2])
     return y, new_state
 
 
