@@ -292,6 +292,21 @@ def test_mismatched_input_lengths_raise():
                                 str(i2.id): np.zeros(512, np.float32)})
 
 
+def test_batched_dict_input_without_batch_shape_raises():
+    """Batched streams need batch_shape= (stateful nodes need vmapped
+    state); a [B, T] dict value with batch_shape=() must fail up front
+    with a pointer to batch_shape, not a broadcast error deep inside the
+    cycle scan."""
+    g, inp_id = _chain()
+    x = np.zeros((4, 256), np.float32)
+    cg = dst.compile_graph(g)
+    with pytest.raises(ValueError, match="batch_shape"):
+        cg.render({str(inp_id): x})
+    # and the documented form works
+    outs, _, _ = cg.render({str(inp_id): x}, batch_shape=(4,))
+    assert np.asarray(outs).shape == (4, 1, 256)
+
+
 def test_chorus_lfo_phase_bounded_for_long_streams():
     """The LFO phase is reduced mod 1 in f64 before the f32 sin, so a
     sample clock past 2^24 (where f32 quantizes) behaves exactly like the
