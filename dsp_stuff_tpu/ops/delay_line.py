@@ -114,22 +114,10 @@ def _feedback_comb_impl(x, decay, history, D: int, associative: bool,
     # passes over the signal, ~1/3 of the whole node's cost
     xcb = xp.reshape(*batch, nchunks, D)
 
-    if associative and nchunks > 16:
+    if associative and nchunks > 1:
+        # single-GEMM / two-level Toeplitz; even at 2-16 chunks the GEMM
+        # beats an associative_scan (log2 K full-signal passes)
         yb, last = _comb_chunks_blocked(xcb, decay, history)
-    elif associative and nchunks > 1:
-        # fold the carried history into chunk 0, then scan the affine
-        # maps along the chunk axis in place
-        xcb = xcb.at[..., 0, :].add(history * decay)
-        a = jnp.full((*(1,) * len(batch), nchunks, 1), decay, f32)
-
-        def combine(l, r):
-            a1, b1 = l
-            a2, b2 = r
-            return a2 * a1, a2 * b1 + b2
-
-        _, yb = jax.lax.associative_scan(combine, (a, xcb),
-                                         axis=xcb.ndim - 2)
-        last = yb[..., -1, :]
     else:
         def step(prev, xk):
             y = xk + mul(prev, decay)
@@ -149,17 +137,27 @@ def _feedback_comb_impl(x, decay, history, D: int, associative: bool,
     return y, new_hist
 
 
-def _comb_chunks_blocked(xcb, decay, history, G: int = 128):
+def _comb_chunks_blocked(xcb, decay, history, G_max: int = 256):
     """Solve y_k = decay * y_{k-1} + x_k over the chunk axis with Toeplitz
     matmuls (same scheme as ops/scan.py:_first_order_blocked, but the
     recurrence elements are whole [D]-vectors).
 
     XLA lowers a K-long associative_scan as a logarithmic while-loop of
-    dynamic slices (~1 ms/render at K=1200 on v5e); one batched
-    [G, G] x [..., G, D] contraction plus a tiny carry chain replaces it.
-    The chunk axis stays batch-major throughout: [..., KG, G, D] is the
-    natural [M, K] x [K, N] MXU layout for the einsum, and avoids the
+    dynamic slices (~1 ms/render at K=1200 on v5e); Toeplitz matmuls
+    replace it.  The chunk axis stays batch-major throughout: the
+    natural [M, K] x [K, N] MXU layout for the einsum, avoiding the
     two full-signal HBM transposes a chunk-major layout costs.
+
+    K <= G_max (the common offline case, e.g. 10 s / 0.05 s delay =
+    200 chunks): ONE [K, K] Toeplitz GEMM with the carried history as a
+    fused d^(k+1) epilogue -- no padding, no carry chain, no second
+    signal read.  Measured 8.0 vs 17.2 ms at batch 512 x 10 s against
+    the previous fixed-G=128 two-level scheme, whose pad of K=200 to
+    KG*G=256 materialized a 28%-larger signal copy.
+
+    K > G_max: two-level with G = ceil(K/KG) rounded up to a multiple
+    of 8 (exact fit or near it), so the pad stays <= 7 chunks instead
+    of up to 100%.
 
     xcb     -- [..., K, D] batch-major chunked input
     history -- [..., D] carry into chunk 0
@@ -169,14 +167,25 @@ def _comb_chunks_blocked(xcb, decay, history, G: int = 128):
     K = xcb.shape[-2]
     D = xcb.shape[-1]
     batch = xcb.shape[:-2]
-    KG = -(-K // G)
+    from dsp_stuff_tpu.ops.scan import scalar_power_toeplitz
+
+    if K <= G_max:
+        # y_k = sum_{j<=k} d^(k-j) x_j + d^(k+1) history, one GEMM
+        pows, LtK, _ = scalar_power_toeplitz(decay, K, row_ge_col=True)
+        yb = jnp.einsum("ij,...jd->...id", LtK, xcb,
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST) \
+            + pows[1:].reshape(K, 1) * history[..., None, :]
+        return yb, yb[..., K - 1, :]
+
+    KG = -(-K // G_max)
+    G = -(-(-(-K // KG)) // 8) * 8                        # ceil, 8-aligned
     pad = KG * G - K
     xp = jnp.pad(xcb, [(0, 0)] * (xcb.ndim - 2) + [(0, pad), (0, 0)])
     Xg = xp.reshape(*batch, KG, G, D)                      # [..., KG, G, D]
 
     # LtG[i, j] = decay^(i-j) for i >= j; the shared helper owns the
     # concrete-vs-traced constant split
-    from dsp_stuff_tpu.ops.scan import scalar_power_toeplitz
     pows, LtG, dG = scalar_power_toeplitz(decay, G, row_ge_col=True)
 
     # two-phase (see ops/scan._first_order_blocked): super-chunk end

@@ -520,43 +520,61 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     xpad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     X = xpad.reshape(*batch, K, C)
 
-    # cross-chunk numerator corrections: f[k, 0] reaches b1 x[k-1, C-1] +
-    # b2 x[k-1, C-2] and f[k, 1] reaches b2 x[k-1, C-1] (chunk 0 uses the
-    # carried x1, x2).  Per chunk that is a rank-2 [C]-profile update
-    # d0[k] h[i] + d1[k] h[i-1] -- cheap strided reads + fused epilogues,
-    # never a signal-wide pass.
-    xlast1 = jnp.concatenate(
-        [jnp.broadcast_to(jnp.asarray(x1, f32), batch)[..., None],
-         X[..., :-1, C - 1]], axis=-1)                     # [..., K]
-    xlast2 = jnp.concatenate(
-        [jnp.broadcast_to(jnp.asarray(x2, f32), batch)[..., None],
-         X[..., :-1, C - 2]], axis=-1)                     # [..., K]
-    d0 = b1 * xlast1 + b2 * xlast2                         # [..., K]
-    d1 = b2 * xlast1                                       # [..., K]
     hs = jnp.concatenate([jnp.zeros((1,), f32), h[:C - 1]])  # h[i-1], [C]
 
-    # zero-state response via the numerator-folded Toeplitz
-    # Ltg[c, d] = g[d - c] for d >= c -- ONE signal-sized GEMM.  (A
-    # two-phase ends-matvec-then-fused-GEMM variant, like
-    # _first_order_blocked's, measured SLOWER here at batch 512 --
-    # 32.0 vs 28.8 ms -- because the second x read costs more than the
-    # z column slices it avoids; XLA fuses the slice reads fine.)
+    # Everything the boundary recurrence needs from x comes out of ONE
+    # [C, 4] side mat-vec: columns 0/1 are the chunk-end zero-state
+    # responses z[k, C-1] / z[k, C-2] (reversed-g rows), columns 2/3
+    # pick the raw samples x[k, C-1] / x[k, C-2] that the NEXT chunk's
+    # numerator reaches back to (one-hots).  This replaces both the
+    # materialized z (a signal-sized HBM round-trip: z fed the epilogue
+    # AND the w columns, which blocked output fusion) and the
+    # stride-C column reads for the reach-back (3.1 ms alone at batch
+    # 512 -- a strided column touches every 512-byte sector of the
+    # array).  Whole-op: 10.1 vs 11.0 ms at batch 512 x 10 s.  (An
+    # earlier two-phase variant with SEPARATE ends/reach-back passes
+    # measured slower, 32.0 vs 28.8 ms per 4 renders -- sharing the one
+    # side mat-vec is what tips it.)
     if concrete:
         i = np.arange(C)
         Ltg = jnp.asarray(np.where(
             i[:, None] <= i[None, :],
             g_np[np.clip(i[None, :] - i[:, None], 0, C)], 0.0
         ).astype(np.float32))
+        S_np = np.zeros((C, 4), np.float32)
+        S_np[:, 0] = g_np[C - 1 - np.arange(C)]
+        S_np[:C - 1, 1] = g_np[C - 2 - np.arange(C - 1)]
+        S_np[C - 1, 2] = 1.0
+        S_np[C - 2, 3] = 1.0
+        S = jnp.asarray(S_np)
     else:
         i = jnp.arange(C)
         Ltg = jnp.where(i[:, None] <= i[None, :],
                         g[jnp.clip(i[None, :] - i[:, None], 0, C)], 0.0)
-    z = jnp.einsum("...kc,cd->...kd", X, Ltg,
-                   preferred_element_type=f32,
-                   precision=jax.lax.Precision.HIGHEST)    # [..., K, C]
-    w = jnp.stack([z[..., :, C - 1], z[..., :, C - 2]], axis=-1)
-    w = w + jnp.stack([d0 * h[C - 1] + d1 * h[C - 2],
-                       d0 * h[C - 2] + d1 * h[C - 3]], axis=-1)
+        S = jnp.stack(
+            [g[C - 1 - jnp.arange(C)],
+             jnp.concatenate([g[C - 2 - jnp.arange(C - 1)],
+                              jnp.zeros((1,), f32)]),
+             jnp.zeros((C,), f32).at[C - 1].set(1.0),
+             jnp.zeros((C,), f32).at[C - 2].set(1.0)], axis=-1)
+    side = jnp.einsum("...kc,cj->...kj", X, S,
+                      preferred_element_type=f32,
+                      precision=jax.lax.Precision.HIGHEST)  # [..., K, 4]
+
+    # cross-chunk numerator corrections: f[k, 0] reaches b1 x[k-1, C-1]
+    # + b2 x[k-1, C-2] and f[k, 1] reaches b2 x[k-1, C-1] (chunk 0 uses
+    # the carried x1, x2) -- a per-chunk rank-2 update d0[k] h[i] +
+    # d1[k] h[i-1], fused epilogues, never a signal-wide pass.
+    x1b = jnp.broadcast_to(jnp.asarray(x1, f32), batch)[..., None]
+    x2b = jnp.broadcast_to(jnp.asarray(x2, f32), batch)[..., None]
+    xlast1 = jnp.concatenate([x1b, side[..., :-1, 2]], axis=-1)  # [..., K]
+    xlast2 = jnp.concatenate([x2b, side[..., :-1, 3]], axis=-1)  # [..., K]
+    d0 = b1 * xlast1 + b2 * xlast2                         # [..., K]
+    d1 = b2 * xlast1                                       # [..., K]
+
+    w = jnp.stack([side[..., :, 0] + d0 * h[C - 1] + d1 * h[C - 2],
+                   side[..., :, 1] + d0 * h[C - 2] + d1 * h[C - 3]],
+                  axis=-1)
 
     # boundary-state recurrence s_k = M s_{k-1} + w_k over K chunks
     if concrete:
@@ -576,9 +594,12 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     # carry INTO chunk k is s_{k-1} (s0 for k = 0)
     s_in = jnp.concatenate([s0[..., None, :], s[..., :-1, :]], axis=-2)
 
-    # fold: IC response + cross-chunk numerator corrections as fused
-    # elementwise epilogues over z
-    y = (z
+    # fold: zero-state response emitted by the y-GEMM (its ONLY
+    # consumer, so XLA output-fuses the epilogues; no z round-trip),
+    # + IC response + cross-chunk numerator corrections
+    y = (jnp.einsum("...kc,cd->...kd", X, Ltg,
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
          + s_in[..., :, 0:1] * h[1:][None, :]
          - a2 * s_in[..., :, 1:2] * h[:-1][None, :]
          + d0[..., :, None] * h[:C][None, :]
