@@ -325,6 +325,56 @@ def _active_nodes(graph: Graph) -> set[int]:
     return act
 
 
+_ONE_POLE_KINDS = {"low_pass": "lp", "high_pass": "hp"}
+
+
+def _plan_one_pole_fusion(graph: Graph, nodes: dict, sccs) -> dict:
+    """sec2_nid -> (sec1_nid, kind1, kind2) for fusable adjacent one-pole
+    filter pairs (ops/cascade.one_pole_pair).
+
+    Structural preconditions (anything else falls back to per-node eval):
+      * both nodes are low_pass/high_pass, outside every feedback SCC;
+      * sec2's "in" has exactly one incoming link, from sec1's "out";
+      * that link is sec1's ONLY outgoing link (no other consumer --
+        including analysis sinks and modulation ports -- needs sec1's
+        output signal);
+      * neither node receives links on any port besides "in" (no
+        modulation into a fused section);
+      * each node joins at most one pair (a 3-chain fuses its first two
+        sections; the third runs unfused).
+    """
+    cyclic = set()
+    for comp in sccs:
+        if len(comp) > 1 or any(l.src == l.dst == comp[0]
+                                for l in graph.links):
+            cyclic.update(comp)
+    out_count: dict[int, int] = {}
+    modded = set()
+    for l in graph.links:
+        out_count[l.src] = out_count.get(l.src, 0) + 1
+        if l.dst_port != "in":
+            modded.add(l.dst)
+    plan: dict[int, tuple] = {}
+    deferred = set()
+    for nid, node in nodes.items():
+        k2 = _ONE_POLE_KINDS.get(node.cfg_name)
+        if k2 is None or nid in cyclic or nid in modded or nid in deferred:
+            continue
+        ins = graph.in_links(nid, "in")
+        if len(ins) != 1:
+            continue
+        src = ins[0].src
+        srcnode = nodes.get(src)
+        k1 = _ONE_POLE_KINDS.get(srcnode.cfg_name) if srcnode else None
+        if (k1 is None or src == nid or src in cyclic or src in modded
+                or src in deferred or src in plan
+                or out_count.get(src, 0) != 1):
+            continue
+        plan[nid] = (src, k1, k2)
+        deferred.add(src)
+    return plan
+
+
 def compile_graph(graph: Graph, block_size: int = 128,
                   cycle_unroll: int = 8) -> CompiledGraph:
     if block_size % 128:
@@ -352,6 +402,13 @@ def compile_graph(graph: Graph, block_size: int = 128,
         if l.src in nodes and l.dst in nodes:
             edges[l.src].add(l.dst)
     sccs = condensation_topo_order(sorted(nodes), edges)
+
+    # structural plan for one-pole pair fusion (ops/cascade.py): adjacent
+    # low_pass/high_pass nodes in the ACYCLIC part whose link is the sole
+    # consumer of the upstream node fuse into one blocked solve -- the
+    # dynamic preconditions (fast policy, no NODE_HOOK, concrete ratios,
+    # no fit overrides) are re-checked per trace in _eval.
+    fusion_plan = _plan_one_pole_fusion(graph, nodes, sccs)
 
     def init_state():
         st = {
@@ -420,9 +477,32 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 params[p.name] = node.params[p.name]
         return params
 
+    def _active_fusion(pdict) -> dict:
+        """The subset of fusion_plan whose dynamic preconditions hold for
+        THIS trace: fast policy, no observability hook (debug_render needs
+        every node's own output), no traced fit overrides on either node,
+        concrete float ratios."""
+        from dsp_stuff_tpu.utils import precision
+        if (not fusion_plan or NODE_HOOK is not None
+                or precision.get_policy().name != "fast"):
+            return {}
+        active = {}
+        for sec2, (sec1, k1, k2) in fusion_plan.items():
+            if any("ratio" in (pdict or {}).get(str(n), {})
+                   for n in (sec1, sec2)):
+                continue
+            r1 = nodes[sec1].params["ratio"]
+            r2 = nodes[sec2].params["ratio"]
+            if all(isinstance(r, (int, float, np.floating))
+                   for r in (r1, r2)):
+                active[sec2] = (sec1, k1, k2, float(r1), float(r2))
+        return active
+
     def _eval(state, ext, T: int, pdict=None):
         state = dict(state)
         values: dict[tuple[int, str], Any] = {}
+        fused = _active_fusion(pdict)
+        fused_sec1 = {sec1 for sec1, *_ in fused.values()}
 
         def port_sources(nid, port, lookup):
             return [lookup(l.src, l.src_port)
@@ -436,6 +516,20 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 l.src == l.dst == comp[0] for l in graph.links)
             if not is_cycle:
                 nid = comp[0]
+                if nid in fused_sec1:
+                    continue                  # evaluated at its consumer
+                if nid in fused:
+                    sec1, k1, k2, r1, r2 = fused[nid]
+                    from dsp_stuff_tpu.ops.cascade import one_pole_pair
+                    x1, _ = _avg(port_sources(sec1, "in", seq_lookup), T)
+                    h = 1.0 / float(_fanin_divisor(1))
+                    y, z1n, z2n = one_pole_pair(
+                        x1, k1, r1, k2, r2, h,
+                        state[str(sec1)]["z"], state[str(nid)]["z"])
+                    state[str(sec1)] = {"z": z1n}
+                    state[str(nid)] = {"z": z2n}
+                    values[(nid, "out")] = y
+                    continue
                 node = nodes[nid]
                 impl = node.spec.impl
                 in_sigs = {}

@@ -184,8 +184,12 @@ def scalar_power_toeplitz(a, n: int, row_ge_col: bool = False):
     return pows, Lt, pows[n]
 
 
-def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
+def _first_order_blocked(a, b, y0, C: int = _BLOCK_C, scale=1.0):
     """Constant-coefficient first-order recurrence as MXU matmuls.
+
+    ``scale`` (concrete, trace-time) solves  y[t] = a y[t-1] + scale b[t]
+    by folding the factor into the Toeplitz/ends tap constants -- b feeds
+    the GEMM directly, with no prescale pass XLA might materialize.
 
     Split T into K chunks of C.  Within a chunk the zero-state response is
 
@@ -211,6 +215,15 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     # powers a^0..a^C; guard pow for a == 0 (0^0 = 1 here); the helper
     # owns the concrete-vs-traced constant split
     pows, Lt, aC = scalar_power_toeplitz(a, C)
+    ends_taps = pows[C - 1::-1]
+    if not (isinstance(scale, float) and scale == 1.0):
+        # fold the input scale into the tap constants (concrete scale +
+        # concrete a -> XLA folds these at compile time); the carry
+        # epilogue's a-powers stay unscaled (carries propagate through
+        # the homogeneous part only)
+        s32 = jnp.float32(scale)
+        Lt = Lt * s32
+        ends_taps = ends_taps * s32
 
     # two-phase evaluation: the chunk-end states first, via one cheap
     # mat-vec (the Toeplitz's last column, a^(C-1-j)) -- NOT by slicing
@@ -224,7 +237,7 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C):
     # length K, so recurse: T=2.88M resolves as 2-3 matmul levels
     # (11250 -> 44 -> direct) instead of a log-K Blelloch scan whose ~14
     # dispatch-bound passes dominated the op's runtime on v5e.
-    ends = jnp.einsum("...kc,c->...k", B, pows[C - 1::-1],
+    ends = jnp.einsum("...kc,c->...k", B, ends_taps,
                       preferred_element_type=f32,
                       precision=jax.lax.Precision.HIGHEST)  # [..., K]
     y0b = jnp.broadcast_to(jnp.asarray(y0, f32), batch)
@@ -312,10 +325,61 @@ def biquad_df1(x, a1, a2, b0, b1, b2, state=None):
         # contract, ~1e-5-relative apart; fit-time (traced) renders and
         # the baked re-render of the fitted values differ at that level.
         cf = tuple(float(np.float32(c)) for c in cvals)
+        if cf[0] == 0.0 and cf[1] == 0.0:
+            # a1 == a2 == 0: pure 3-tap FIR, one fused elementwise pass
+            # (2 HBM passes vs the blocked solver's 3).
+            return _biquad_pure_fir_static(x, cf, state)
+        if cf[1] == 0.0 and cf[3] == 0.0 and cf[4] == 0.0:
+            # a2 == b1 == b2 == 0: y[t] = b0 x[t] - a1 y[t-1], a scaled
+            # first-order recurrence.  b0 folds into the trace-time tap
+            # constants so x feeds the GEMM directly -- a prescale pass
+            # (f = b0 x) measured perf-NEUTRAL vs the full biquad at
+            # batch 512 (XLA materializes f for the two einsum readers);
+            # the scalar ends/carry machinery only wins when the input
+            # is untouched.  The bench chain's biquad is this shape.
+            return _biquad_degenerate_static(x, cf, state)
         return _biquad_blocked_static(x, cf, state)
     coeffs = tuple(jnp.asarray(c, jnp.float32) for c in cvals)
     return _biquad_jit(x, coeffs, state, pol.scan_internal_dtype,
                        pol.sequential_recurrences)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), inline=True)
+def _biquad_pure_fir_static(x, cf: tuple, state):
+    """DF1 biquad with a1 == a2 == 0: a pure 3-tap FIR, evaluated as one
+    fused elementwise pass with the carried x-history prefix.  State
+    layout matches the full biquad: (x1, x2, y1, y2)."""
+    f32 = jnp.float32
+    _a1, _a2, b0, b1, b2 = (np.float32(c) for c in cf)
+    x1, x2, y1, y2 = state
+    if float(b1) == 0.0 and float(b2) == 0.0:
+        y = (x * b0).astype(f32)
+    else:
+        xp = jnp.concatenate([x2[..., None], x1[..., None], x], axis=-1)
+        y = (b0 * xp[..., 2:] + b1 * xp[..., 1:-1]
+             + b2 * xp[..., :-2]).astype(f32)
+    # T >= 2 is guaranteed by the dispatch guard in biquad_df1
+    return y, (x[..., -1], x[..., -2], y[..., -1], y[..., -2])
+
+
+@functools.partial(jax.jit, static_argnums=(1,), inline=True)
+def _biquad_degenerate_static(x, cf: tuple, state):
+    """DF1 biquad with a2 == b1 == b2 == 0 (fast policy, concrete
+    coefficients):
+
+        y[t] = b0 x[t] - a1 y[t-1]
+
+    routed through the scalar first-order blocked solver with b0 folded
+    into its tap constants (``scale=``), so x feeds the GEMM directly.
+    The y-history seed is exact: y[-1] participates only through the
+    recurrence, which _first_order_blocked's y0 carries.  State layout
+    matches the full biquad: (x1, x2, y1, y2)."""
+    a1, _a2, b0, _b1, _b2 = cf
+    x1, x2, y1, y2 = state
+    y = _first_order_blocked(np.float32(-np.float32(a1)), x, y1,
+                             scale=float(b0))
+    # T >= 2 is guaranteed by the dispatch guard in biquad_df1
+    return y, (x[..., -1], x[..., -2], y[..., -1], y[..., -2])
 
 
 @functools.partial(jax.jit, static_argnums=(1,), inline=True)

@@ -1,0 +1,217 @@
+"""One-pole pair fusion (ops/cascade.py + compiler _plan_one_pole_fusion):
+adjacent LowPass/HighPass nodes fuse into a single blocked solve under the
+fast policy.  Oracle semantics per section: low_pass.rs:36-41 /
+high_pass.rs:36-41 with the compiler's fan-in scale between them."""
+
+import numpy as np
+import pytest
+
+import dsp_stuff_tpu as dst
+from dsp_stuff_tpu.compiler import compile as compile_mod
+from dsp_stuff_tpu.ops import cascade
+from dsp_stuff_tpu.utils import precision
+
+import oracle
+
+T = 19968      # 156 blocks
+
+
+def _sig(T, seed=0):
+    return (np.random.default_rng(seed).standard_normal(T) * 0.3
+            ).astype(np.float32)
+
+
+def _oracle_section(kind, r, v, z=np.float32(0.0)):
+    if kind == "lp":
+        return oracle.low_pass(v, r, z)
+    return oracle.high_pass(v, r, z)
+
+
+COMBOS = [("lp", "hp", 0.6, 0.2), ("hp", "lp", 0.3, 0.9),
+          ("lp", "lp", 0.5, 0.5), ("hp", "hp", 0.97, 0.97)]
+
+
+@pytest.mark.parametrize("k1,k2,r1,r2", COMBOS)
+def test_one_pole_pair_vs_oracle(k1, k2, r1, r2):
+    x = _sig(T)
+    with precision.policy("fast"):
+        y, z1, z2 = cascade.one_pole_pair(x, k1, r1, k2, r2, 1.0, 0.0, 0.0)
+    o1, zw1 = _oracle_section(k1, r1, x)
+    want, zw2 = _oracle_section(k2, r2, o1)
+    err = np.max(np.abs(np.asarray(y, np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert abs(float(z1) - float(zw1)) < 1e-6
+    assert abs(float(z2) - float(zw2)) < 1e-6
+
+
+@pytest.mark.parametrize("k1,k2,r1,r2", COMBOS[:2])
+def test_one_pole_pair_state_carry(k1, k2, r1, r2):
+    """Two chained segment solves equal the one-shot solve: the carried
+    (z1, z2) are the nodes' true one-pole states, including the
+    padded-last-chunk recovery (T2 not a multiple of the chunk size)."""
+    x = _sig(T, seed=3)
+    cut = 7 * 128 + 37                       # mid-chunk split
+    with precision.policy("fast"):
+        y_full, _, _ = cascade.one_pole_pair(x, k1, r1, k2, r2, 1.0,
+                                             0.0, 0.0)
+        y1, z1, z2 = cascade.one_pole_pair(x[:cut], k1, r1, k2, r2, 1.0,
+                                           0.0, 0.0)
+        y2, _, _ = cascade.one_pole_pair(x[cut:], k1, r1, k2, r2, 1.0,
+                                         z1, z2)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    err = np.max(np.abs(got.astype(np.float64) - np.asarray(y_full)))
+    assert 20 * np.log10(max(err, 1e-30)) <= -120.0
+
+
+def _pair_graph(k1="lp", k2="hp", r1=0.6, r2=0.2):
+    g = dst.Graph()
+    inp = g.add("input")
+    n1 = g.add("low_pass" if k1 == "lp" else "high_pass", ratio=r1)
+    n2 = g.add("low_pass" if k2 == "lp" else "high_pass", ratio=r2)
+    out = g.add("output")
+    g.chain(inp, n1, n2, out)
+    return g, inp, n1, n2, out
+
+
+def test_compiled_graph_fuses_and_matches_oracle(monkeypatch):
+    """The compiler routes an adjacent pair through one_pole_pair (spy)
+    and the render matches the sequential per-node oracle chain."""
+    calls = []
+    orig = cascade.one_pole_pair
+
+    def spy(*a, **k):
+        calls.append(a[1:5])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cascade, "one_pole_pair", spy)
+    g, inp, n1, n2, out = _pair_graph()
+    x = _sig(T, seed=5)
+    with precision.policy("fast"):
+        outs, _, st = dst.compile_graph(g).render({str(inp.id): x})
+    assert calls, "fusion did not engage on an adjacent lp->hp pair"
+
+    F32 = np.float32
+
+    def hop(v):
+        return (v / F32(F32(1.0) + F32(0.0001))).astype(F32)
+
+    o1, zw1 = _oracle_section("lp", 0.6, hop(x))
+    o2, zw2 = _oracle_section("hp", 0.2, hop(o1))
+    want = hop(o2)
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert abs(float(np.asarray(st[str(n1.id)]["z"])) - float(zw1)) < 1e-6
+    assert abs(float(np.asarray(st[str(n2.id)]["z"])) - float(zw2)) < 1e-6
+
+
+def _plan_of(g):
+    # recompute the structural plan exactly as compile_graph does
+    active = compile_mod._active_nodes(g)
+    nodes = {nid: n for nid, n in g.nodes.items() if nid in active}
+    edges = {nid: set() for nid in nodes}
+    for l in g.links:
+        if l.src in nodes and l.dst in nodes:
+            edges[l.src].add(l.dst)
+    from dsp_stuff_tpu.compiler.scc import condensation_topo_order
+    sccs = condensation_topo_order(sorted(nodes), edges)
+    return compile_mod._plan_one_pole_fusion(g, nodes, sccs)
+
+
+def test_fusion_blocked_by_extra_consumer():
+    """A second consumer of sec1's output (e.g. a wave_view tap) must
+    keep both nodes unfused -- the tap needs sec1's own signal."""
+    g, inp, n1, n2, out = _pair_graph()
+    wv = g.add("wave_view")
+    g.connect(n1, "out", wv, "in")
+    assert _plan_of(g) == {}
+
+
+def test_fusion_blocked_inside_cycles():
+    g, inp, n1, n2, out = _pair_graph()
+    g.connect(n2, "out", n1, "in")           # feedback around the pair
+    assert _plan_of(g) == {}
+
+
+def test_fusion_plan_on_three_chain():
+    """lp -> lp -> lp fuses exactly one pair; the leftover runs solo."""
+    g = dst.Graph()
+    inp = g.add("input")
+    f1 = g.add("low_pass", ratio=0.3)
+    f2 = g.add("low_pass", ratio=0.5)
+    f3 = g.add("low_pass", ratio=0.7)
+    out = g.add("output")
+    g.chain(inp, f1, f2, f3, out)
+    plan = _plan_of(g)
+    assert len(plan) == 1
+    ((sec2, (sec1, k1, k2)),) = plan.items()
+    assert {sec1, sec2} < {f1.id, f2.id, f3.id} and k1 == k2 == "lp"
+    x = _sig(T, seed=7)
+    with precision.policy("fast"):
+        outs, _, _ = dst.compile_graph(g).render({str(inp.id): x})
+
+    F32 = np.float32
+
+    def hop(v):
+        return (v / F32(F32(1.0) + F32(0.0001))).astype(F32)
+
+    v = hop(x)
+    for r in (0.3, 0.5, 0.7):
+        v, _ = _oracle_section("lp", r, v)
+        v = hop(v)
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - v))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+
+
+def test_fusion_inactive_outside_fast_policy(monkeypatch):
+    calls = []
+    orig = cascade.one_pole_pair
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cascade, "one_pole_pair", spy)
+    g, inp, n1, n2, out = _pair_graph()
+    x = _sig(1536, seed=9)
+    with precision.policy("parity"):
+        dst.compile_graph(g).render({str(inp.id): x})
+    assert not calls
+
+
+def test_fusion_inactive_under_fit_overrides(monkeypatch):
+    """Traced parameter overrides (the fit path) must fall back to the
+    per-node eval -- the ratios are no longer trace-time constants."""
+    calls = []
+    orig = cascade.one_pole_pair
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cascade, "one_pole_pair", spy)
+    g, inp, n1, n2, out = _pair_graph()
+    x = _sig(1536, seed=11)
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        params = cg.init_params()
+        outs, _, _ = cg.render({str(inp.id): x}, params=params)
+        assert not calls, "fusion must not engage with traced overrides"
+        ref, _, _ = cg.render({str(inp.id): x})    # no overrides: fuses
+    # the override values equal the sliders, so outputs agree closely
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64)
+                        - np.asarray(ref)[0]))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+
+
+def test_fusion_batched_matches_solo():
+    """vmap invariance: stream 0 of a batched fused render equals the
+    solo fused render."""
+    g, inp, n1, n2, out = _pair_graph("hp", "lp", 0.4, 0.8)
+    x = (np.random.default_rng(13).standard_normal((4, 1536)) * 0.25
+         ).astype(np.float32)
+    with precision.policy("fast"):
+        outs, _, _ = dst.compile_graph(g).render({str(inp.id): x},
+                                                 batch_shape=(4,))
+        solo, _, _ = dst.compile_graph(g).render({str(inp.id): x[0]})
+    np.testing.assert_allclose(np.asarray(outs)[0], np.asarray(solo),
+                               rtol=0, atol=2e-6)

@@ -430,7 +430,9 @@ def test_first_order_blocked_fast_policy(T):
 
 
 @pytest.mark.parametrize("coeffs", [
-    (1.0, -0.24, 0.0, 0.758, 0.0, 0.0),
+    (1.0, -0.24, 0.0, 0.758, 0.0, 0.0),   # degenerate: FIR-free first order
+    (1.0, -0.5, 0.0, 0.3, 0.2, 0.1),      # degenerate with 3-tap FIR front
+    (1.0, 0.0, 0.0, 0.5, 0.25, 0.125),    # pure FIR (a1 = a2 = 0)
     (1.0, -1.8, 0.81, 0.1, 0.2, 0.1),     # resonant: worst case ~-89 dBFS
     (2.0, -1.2, 0.5, 0.4, 0.2, 0.1),
 ])
@@ -450,10 +452,15 @@ def test_biquad_blocked_fast_policy(coeffs):
         assert abs(float(a) - float(b)) < 1e-4
 
 
-def test_biquad_blocked_state_carry_fast():
+@pytest.mark.parametrize("args", [
+    (-0.24, 0.0, 0.758, 0.0, 0.0),       # degenerate, FIR-free
+    (-0.5, 0.0, 0.3, 0.2, 0.1),          # degenerate, x-history handoff
+    (-1.2, 0.5, 0.4, 0.2, 0.1),          # full biquad
+])
+def test_biquad_blocked_state_carry_fast(args):
     x = sig(1024)
     f = np.float32
-    args = (f(-0.24), f(0.0), f(0.758), f(0.0), f(0.0))
+    args = tuple(f(a) for a in args)
     with precision.policy("fast"):
         y_full, _ = scan.biquad_df1(x, *args)
         y1, st = scan.biquad_df1(x[:500], *args)
