@@ -325,54 +325,82 @@ def _active_nodes(graph: Graph) -> set[int]:
     return act
 
 
-_ONE_POLE_KINDS = {"low_pass": "lp", "high_pass": "hp"}
+#: graph node types that are linear systems fusable into one blocked
+#: solve (ops/cascade.py), and their section kinds
+_LINEAR_KINDS = {"gain": "gain", "low_pass": "lp", "high_pass": "hp",
+                 "biquad": "bq"}
 
 
-def _plan_one_pole_fusion(graph: Graph, nodes: dict, sccs) -> dict:
-    """sec2_nid -> (sec1_nid, kind1, kind2) for fusable adjacent one-pole
-    filter pairs (ops/cascade.one_pole_pair).
+def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
+    """Maximal runs of adjacent linear nodes fusable into one
+    ops/cascade.linear_cascade solve.  Returns a list of runs, each a
+    list of node ids in signal order.
 
     Structural preconditions (anything else falls back to per-node eval):
-      * both nodes are low_pass/high_pass, outside every feedback SCC;
-      * sec2's "in" has exactly one incoming link, from sec1's "out";
-      * that link is sec1's ONLY outgoing link (no other consumer --
-        including analysis sinks and modulation ports -- needs sec1's
-        output signal);
-      * neither node receives links on any port besides "in" (no
-        modulation into a fused section);
-      * each node joins at most one pair (a 3-chain fuses its first two
-        sections; the third runs unfused).
+      * every node is gain/low_pass/high_pass/biquad, outside every
+        feedback SCC;
+      * consecutive nodes are joined by a sole link: the downstream
+        node's "in" has exactly that one source, and it is the upstream
+        node's ONLY outgoing link (no other consumer -- including
+        analysis sinks and modulation ports -- needs the intermediate
+        signal);
+      * no node receives links on any port besides "in" (no modulation
+        into a fused section -- gain's level port included);
+      * the composite state dimension is capped at 2 (the vec2 carry
+        machinery): longer chains split greedily, e.g.
+        lp -> hp -> biquad fuses as [lp, hp] + solo biquad;
+      * a run keeps >= 2 nodes and >= 1 stateful section (pure-gain
+        chains are XLA's elementwise fusion problem, not ours).
     """
+    from dsp_stuff_tpu.ops.cascade import SECTION_DIMS
     cyclic = set()
     for comp in sccs:
         if len(comp) > 1 or any(l.src == l.dst == comp[0]
                                 for l in graph.links):
             cyclic.update(comp)
-    out_count: dict[int, int] = {}
+    out_links: dict[int, list] = {}
     modded = set()
     for l in graph.links:
-        out_count[l.src] = out_count.get(l.src, 0) + 1
+        out_links.setdefault(l.src, []).append(l)
         if l.dst_port != "in":
             modded.add(l.dst)
-    plan: dict[int, tuple] = {}
-    deferred = set()
-    for nid, node in nodes.items():
-        k2 = _ONE_POLE_KINDS.get(node.cfg_name)
-        if k2 is None or nid in cyclic or nid in modded or nid in deferred:
+
+    def fusable(nid) -> bool:
+        node = nodes.get(nid)
+        return (node is not None and node.cfg_name in _LINEAR_KINDS
+                and nid not in cyclic and nid not in modded)
+
+    nxt: dict[int, int] = {}
+    for nid in nodes:
+        if not fusable(nid) or len(out_links.get(nid, [])) != 1:
             continue
-        ins = graph.in_links(nid, "in")
-        if len(ins) != 1:
+        l = out_links[nid][0]
+        if (l.dst_port == "in" and l.dst != nid and fusable(l.dst)
+                and len(graph.in_links(l.dst, "in")) == 1):
+            nxt[nid] = l.dst
+
+    def dim(nid) -> int:
+        return SECTION_DIMS[_LINEAR_KINDS[nodes[nid].cfg_name]]
+
+    runs = []
+    targets = set(nxt.values())
+    for nid in nodes:
+        if not fusable(nid) or nid in targets:
             continue
-        src = ins[0].src
-        srcnode = nodes.get(src)
-        k1 = _ONE_POLE_KINDS.get(srcnode.cfg_name) if srcnode else None
-        if (k1 is None or src == nid or src in cyclic or src in modded
-                or src in deferred or src in plan
-                or out_count.get(src, 0) != 1):
-            continue
-        plan[nid] = (src, k1, k2)
-        deferred.add(src)
-    return plan
+        chain = [nid]
+        while chain[-1] in nxt:
+            chain.append(nxt[chain[-1]])
+        seg: list = []
+        d = 0
+        for n in chain + [None]:
+            if n is None or d + dim(n) > 2:
+                if len(seg) >= 2 and d >= 1:
+                    runs.append(seg)
+                seg, d = [], 0
+            if n is not None:
+                seg.append(n)
+                d += dim(n)
+    return runs
 
 
 def compile_graph(graph: Graph, block_size: int = 128,
@@ -403,12 +431,13 @@ def compile_graph(graph: Graph, block_size: int = 128,
             edges[l.src].add(l.dst)
     sccs = condensation_topo_order(sorted(nodes), edges)
 
-    # structural plan for one-pole pair fusion (ops/cascade.py): adjacent
-    # low_pass/high_pass nodes in the ACYCLIC part whose link is the sole
-    # consumer of the upstream node fuse into one blocked solve -- the
-    # dynamic preconditions (fast policy, no NODE_HOOK, concrete ratios,
-    # no fit overrides) are re-checked per trace in _eval.
-    fusion_plan = _plan_one_pole_fusion(graph, nodes, sccs)
+    # structural plan for linear-run fusion (ops/cascade.py): maximal
+    # chains of adjacent gain/low_pass/high_pass/biquad nodes in the
+    # ACYCLIC part, joined by sole-consumer links, fuse into one blocked
+    # solve each -- the dynamic preconditions (fast policy, no NODE_HOOK,
+    # concrete params, no fit overrides) are re-checked per trace in
+    # _eval.
+    fusion_plan = _plan_linear_fusion(graph, nodes, sccs)
 
     def init_state():
         st = {
@@ -477,32 +506,71 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 params[p.name] = node.params[p.name]
         return params
 
-    def _active_fusion(pdict) -> dict:
-        """The subset of fusion_plan whose dynamic preconditions hold for
-        THIS trace: fast policy, no observability hook (debug_render needs
-        every node's own output), no traced fit overrides on either node,
-        concrete float ratios."""
+    def _run_sections(run, pdict):
+        """Concrete (kind, param) section tuple for a fusable run, with
+        the link fan-in scales interleaved as gain sections -- or None
+        when this trace cannot fuse it (traced fit overrides,
+        non-concrete params, a zero post-gain after a biquad)."""
+        h = 1.0 / float(_fanin_divisor(1))
+        secs: list = []
+        bq_seen = False
+        for i, nid in enumerate(run):
+            if str(nid) in (pdict or {}):
+                return None                  # traced overrides: no fold
+            node = nodes[nid]
+            kind = _LINEAR_KINDS[node.cfg_name]
+            if i:
+                secs.append(("gain", h))
+            if kind == "gain":
+                lvl = node.params["level"]
+                if not isinstance(lvl, (int, float, np.floating)):
+                    return None
+                if bq_seen and np.float32(lvl) == 0.0:
+                    # the biquad's DirectForm1 y-history rebuilds by
+                    # dividing the run output by the post-gain product
+                    return None
+                secs.append(("gain", float(np.float32(lvl))))
+            elif kind in ("lp", "hp"):
+                r = node.params["ratio"]
+                if not isinstance(r, (int, float, np.floating)):
+                    return None
+                secs.append((kind, float(r)))
+            else:
+                raw = [node.params[k]
+                       for k in ("a0", "a1", "a2", "b0", "b1", "b2")]
+                if not all(isinstance(v, (int, float, np.floating))
+                           for v in raw):
+                    return None
+                # same f32 division as BiQuad.process_seq (biquad.rs:64-71)
+                a0 = np.float32(raw[0])
+                cf = tuple(float(np.float32(np.float32(v) / a0))
+                           for v in raw[1:])
+                secs.append(("bq", cf))
+                bq_seen = True
+        return tuple(secs)
+
+    def _active_fusion(pdict) -> tuple[dict, set]:
+        """(tail node id -> (run, sections), interior node ids) for the
+        runs whose dynamic preconditions hold for THIS trace: fast
+        policy, no observability hook (debug_render needs every node's
+        own output), concrete params, no traced fit overrides."""
         from dsp_stuff_tpu.utils import precision
         if (not fusion_plan or NODE_HOOK is not None
                 or precision.get_policy().name != "fast"):
-            return {}
-        active = {}
-        for sec2, (sec1, k1, k2) in fusion_plan.items():
-            if any("ratio" in (pdict or {}).get(str(n), {})
-                   for n in (sec1, sec2)):
-                continue
-            r1 = nodes[sec1].params["ratio"]
-            r2 = nodes[sec2].params["ratio"]
-            if all(isinstance(r, (int, float, np.floating))
-                   for r in (r1, r2)):
-                active[sec2] = (sec1, k1, k2, float(r1), float(r2))
-        return active
+            return {}, set()
+        tails: dict[int, tuple] = {}
+        interior: set = set()
+        for run in fusion_plan:
+            secs = _run_sections(run, pdict)
+            if secs is not None:
+                tails[run[-1]] = (run, secs)
+                interior.update(run[:-1])
+        return tails, interior
 
     def _eval(state, ext, T: int, pdict=None):
         state = dict(state)
         values: dict[tuple[int, str], Any] = {}
-        fused = _active_fusion(pdict)
-        fused_sec1 = {sec1 for sec1, *_ in fused.values()}
+        fused_tails, fused_interior = _active_fusion(pdict)
 
         def port_sources(nid, port, lookup):
             return [lookup(l.src, l.src_port)
@@ -516,18 +584,22 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 l.src == l.dst == comp[0] for l in graph.links)
             if not is_cycle:
                 nid = comp[0]
-                if nid in fused_sec1:
-                    continue                  # evaluated at its consumer
-                if nid in fused:
-                    sec1, k1, k2, r1, r2 = fused[nid]
-                    from dsp_stuff_tpu.ops.cascade import one_pole_pair
-                    x1, _ = _avg(port_sources(sec1, "in", seq_lookup), T)
-                    h = 1.0 / float(_fanin_divisor(1))
-                    y, z1n, z2n = one_pole_pair(
-                        x1, k1, r1, k2, r2, h,
-                        state[str(sec1)]["z"], state[str(nid)]["z"])
-                    state[str(sec1)] = {"z": z1n}
-                    state[str(nid)] = {"z": z2n}
+                if nid in fused_interior:
+                    continue                  # evaluated at the run tail
+                if nid in fused_tails:
+                    from dsp_stuff_tpu.ops import cascade
+                    run, secs = fused_tails[nid]
+                    x1, _ = _avg(port_sources(run[0], "in", seq_lookup), T)
+                    stateful = [n for n in run
+                                if cascade.SECTION_DIMS[
+                                    _LINEAR_KINDS[nodes[n].cfg_name]] > 0]
+                    s_in = cascade.cascade_state_in(
+                        secs, [state[str(n)] for n in stateful])
+                    y, s_T = cascade.linear_cascade(x1, secs, s_in)
+                    for n, st_new in zip(
+                            stateful,
+                            cascade.cascade_state_out(secs, s_T, x1, y)):
+                        state[str(n)] = st_new
                     values[(nid, "out")] = y
                     continue
                 node = nodes[nid]

@@ -137,6 +137,17 @@ def _feedback_comb_impl(x, decay, history, D: int, associative: bool,
     return y, new_hist
 
 
+def _comb_l1(decay, n: int):
+    """Tap-row l1 of the comb's power-Toeplitz (sum |decay|^k, k < n):
+    the bf16x3 eligibility bound (utils.precision.gemm_precision);
+    None when the decay is traced."""
+    import numpy as np
+    if isinstance(decay, (int, float, np.floating)):
+        return float(np.sum(np.abs(np.float32(decay))
+                            ** np.arange(n, dtype=np.float64)))
+    return None
+
+
 def _comb_chunks_blocked(xcb, decay, history, G_max: int = 256):
     """Solve y_k = decay * y_{k-1} + x_k over the chunk axis with Toeplitz
     matmuls (same scheme as ops/scan.py:_first_order_blocked, but the
@@ -172,9 +183,10 @@ def _comb_chunks_blocked(xcb, decay, history, G_max: int = 256):
     if K <= G_max:
         # y_k = sum_{j<=k} d^(k-j) x_j + d^(k+1) history, one GEMM
         pows, LtK, _ = scalar_power_toeplitz(decay, K, row_ge_col=True)
+        from dsp_stuff_tpu.utils.precision import gemm_precision
         yb = jnp.einsum("ij,...jd->...id", LtK, xcb,
                         preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST) \
+                        precision=gemm_precision(_comb_l1(decay, K))) \
             + pows[1:].reshape(K, 1) * history[..., None, :]
         return yb, yb[..., K - 1, :]
 
@@ -194,6 +206,9 @@ def _comb_chunks_blocked(xcb, decay, history, G_max: int = 256):
     # one column out of it), then the carry chain, then y in ONE GEMM
     # whose +carry epilogue XLA fuses.
     # e_m = decay^G e_{m-1} + z[m, -1],  z[m, -1] = sum_j d^(G-1-j) x[m, j]
+    from dsp_stuff_tpu.utils.precision import gemm_precision
+    gp = gemm_precision(_comb_l1(decay, G))
+    # ends mat-vec stays HIGHEST: bandwidth-bound, seeds the carry chain
     ends = jnp.einsum("j,...jd->...d", pows[G - 1::-1], Xg,
                       preferred_element_type=f32,
                       precision=jax.lax.Precision.HIGHEST)  # [..., KG, D]
@@ -213,7 +228,7 @@ def _comb_chunks_blocked(xcb, decay, history, G_max: int = 256):
 
     yg = jnp.einsum("ij,...jd->...id", LtG, Xg,
                     preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST) \
+                    precision=gp) \
         + carry_in[..., :, None, :] * pows[1:].reshape(G, 1)
     yb = yg.reshape(*batch, KG * G, D)[..., :K, :]
     return yb, yb[..., K - 1, :]

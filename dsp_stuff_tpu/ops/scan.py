@@ -237,6 +237,17 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C, scale=1.0):
     # length K, so recurse: T=2.88M resolves as 2-3 matmul levels
     # (11250 -> 44 -> direct) instead of a log-K Blelloch scan whose ~14
     # dispatch-bound passes dominated the op's runtime on v5e.
+    from dsp_stuff_tpu.utils.precision import gemm_precision
+    if isinstance(a, (int, float, np.floating)):
+        # tap row l1 = |scale| sum |a|^d: the bf16x3 eligibility bound
+        l1 = float(abs(scale)
+                   * np.sum(np.abs(np.float32(a)) ** np.arange(C, dtype=np.float64)))
+    else:
+        l1 = None
+    gp = gemm_precision(l1)
+    # the ends mat-vec stays HIGHEST: it is bandwidth-bound (VPU
+    # reduction, no MXU mapping), so bf16x3 saves nothing there, and its
+    # output seeds the carry chain
     ends = jnp.einsum("...kc,c->...k", B, ends_taps,
                       preferred_element_type=f32,
                       precision=jax.lax.Precision.HIGHEST)  # [..., K]
@@ -267,7 +278,7 @@ def _first_order_blocked(a, b, y0, C: int = _BLOCK_C, scale=1.0):
     # carry correction as a fused epilogue
     y = jnp.einsum("...kc,cd->...kd", B, Lt,
                    preferred_element_type=f32,
-                   precision=jax.lax.Precision.HIGHEST) \
+                   precision=gp) \
         + carry_in[..., :, None] * pows[1:][None, :]
     return y.reshape(*batch, K * C)[..., :T].astype(f32)
 
@@ -621,6 +632,10 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
                               jnp.zeros((1,), f32)]),
              jnp.zeros((C,), f32).at[C - 1].set(1.0),
              jnp.zeros((C,), f32).at[C - 2].set(1.0)], axis=-1)
+    from dsp_stuff_tpu.utils.precision import gemm_precision
+    gp = gemm_precision(float(np.abs(g_np).sum()) if concrete else None)
+    # side mat-vec stays HIGHEST: bandwidth-bound, and it feeds the
+    # boundary-state recurrence
     side = jnp.einsum("...kc,cj->...kj", X, S,
                       preferred_element_type=f32,
                       precision=jax.lax.Precision.HIGHEST)  # [..., K, 4]
@@ -663,7 +678,7 @@ def _biquad_blocked(x, a1, a2, b0, b1, b2, state, C: int = _BLOCK_C):
     # + IC response + cross-chunk numerator corrections
     y = (jnp.einsum("...kc,cd->...kd", X, Ltg,
                     preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=gp)
          + s_in[..., :, 0:1] * h[1:][None, :]
          - a2 * s_in[..., :, 1:2] * h[:-1][None, :]
          + d0[..., :, None] * h[:C][None, :]

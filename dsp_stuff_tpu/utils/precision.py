@@ -125,6 +125,49 @@ def mul_unfused(a, b):
     return p.astype(jnp.float32)
 
 
+# l1(taps) ceiling below which bf16x3 GEMMs stay inside the fast-policy
+# error contract.  Error model (measured on v5e): a bf16x3 Toeplitz dot
+# contributes ~|taps|_1 * |x| * 2e-7 of absolute error -- a fused
+# double pole at 0.97 (|g|_1 ~ 5e2) measured -89.0 dBFS vs the oracle
+# (CONTRACT BREACH), while benign taps (|g|_1 <= a few) measured
+# indistinguishable from HIGHEST (-122.9 dBFS).  16 leaves the HIGH
+# contribution <= ~1e-6 (-120 dBFS class) with margin.
+GEMM_HIGH_L1_CEILING = 16.0
+
+
+def gemm_precision(l1: float | None = None):
+    """Contraction precision for the BIG signal-sized einsums in the
+    blocked recurrence solvers (ops/scan.py, ops/delay_line.py,
+    ops/cascade.py): the [T/C, C] @ [C, C] Toeplitz GEMMs and the
+    chunk-end mat-vecs whose operands are the whole signal.
+
+    ``l1`` is the solver's tap-matrix row l1 norm (its error
+    amplification factor), computed by the caller from its trace-time
+    NumPy constants; None means unknown (traced coefficients).
+
+    fast policy on TPU backends with ``l1 <= GEMM_HIGH_L1_CEILING``:
+    ``Precision.HIGH`` (bf16x3) — measured 12% cheaper than HIGHEST on
+    the main GEMM at batch 512 (10.24 vs 11.61 ms) and, for benign
+    taps, error-identical to HIGHEST (-122.9 dBFS over a 10 s a=0.9
+    first-order solve: the f32 output rounding dominates).  Resonant
+    taps exceed the ceiling and keep HIGHEST — a fused double pole at
+    0.97 measured -89.0 dBFS under HIGH, past the -90 contract.
+    DST_GEMM_HIGHEST=1 forces HIGHEST everywhere.  NEVER
+    Precision.DEFAULT: one-pass bf16 is ~-52 dBFS on v5e.
+
+    The tiny boundary einsums (vec2 carry chains, [C, 2]/[C, 4] constant
+    folds on chunk-end vectors) stay HIGHEST unconditionally: their cost
+    is negligible and carry errors compound across blocks.
+
+    Read at trace time, like every policy decision."""
+    import os
+    if (l1 is not None and l1 <= GEMM_HIGH_L1_CEILING
+            and get_policy().name == "fast" and tpu_backend()
+            and os.environ.get("DST_GEMM_HIGHEST") != "1"):
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
+
+
 _warned_exact_tpu = False
 
 

@@ -1,7 +1,8 @@
-"""One-pole pair fusion (ops/cascade.py + compiler _plan_one_pole_fusion):
-adjacent LowPass/HighPass nodes fuse into a single blocked solve under the
-fast policy.  Oracle semantics per section: low_pass.rs:36-41 /
-high_pass.rs:36-41 with the compiler's fan-in scale between them."""
+"""Linear-run fusion (ops/cascade.py + compiler _plan_linear_fusion):
+maximal chains of adjacent Gain/LowPass/HighPass/BiQuad nodes fuse into a
+single blocked solve under the fast policy.  Oracle semantics per section:
+gain.rs:27-38 / low_pass.rs:36-41 / high_pass.rs:36-41 / biquad.rs:79-89,
+with the compiler's fan-in scale between nodes."""
 
 import numpy as np
 import pytest
@@ -60,7 +61,10 @@ def test_one_pole_pair_state_carry(k1, k2, r1, r2):
                                          z1, z2)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     err = np.max(np.abs(got.astype(np.float64) - np.asarray(y_full)))
-    assert 20 * np.log10(max(err, 1e-30)) <= -120.0
+    # TPU: benign-tap bf16x3 GEMMs re-round per block alignment
+    # (utils.precision.gemm_precision), -10x dBFS class instead of -120
+    from conftest import ON_TPU
+    assert 20 * np.log10(max(err, 1e-30)) <= (-100.0 if ON_TPU else -120.0)
 
 
 def _pair_graph(k1="lp", k2="hp", r1=0.6, r2=0.2):
@@ -74,16 +78,16 @@ def _pair_graph(k1="lp", k2="hp", r1=0.6, r2=0.2):
 
 
 def test_compiled_graph_fuses_and_matches_oracle(monkeypatch):
-    """The compiler routes an adjacent pair through one_pole_pair (spy)
+    """The compiler routes an adjacent pair through linear_cascade (spy)
     and the render matches the sequential per-node oracle chain."""
     calls = []
-    orig = cascade.one_pole_pair
+    orig = cascade.linear_cascade
 
-    def spy(*a, **k):
-        calls.append(a[1:5])
-        return orig(*a, **k)
+    def spy(x, sections, s_init):
+        calls.append(sections)
+        return orig(x, sections, s_init)
 
-    monkeypatch.setattr(cascade, "one_pole_pair", spy)
+    monkeypatch.setattr(cascade, "linear_cascade", spy)
     g, inp, n1, n2, out = _pair_graph()
     x = _sig(T, seed=5)
     with precision.policy("fast"):
@@ -114,7 +118,7 @@ def _plan_of(g):
             edges[l.src].add(l.dst)
     from dsp_stuff_tpu.compiler.scc import condensation_topo_order
     sccs = condensation_topo_order(sorted(nodes), edges)
-    return compile_mod._plan_one_pole_fusion(g, nodes, sccs)
+    return compile_mod._plan_linear_fusion(g, nodes, sccs)
 
 
 def test_fusion_blocked_by_extra_consumer():
@@ -123,17 +127,18 @@ def test_fusion_blocked_by_extra_consumer():
     g, inp, n1, n2, out = _pair_graph()
     wv = g.add("wave_view")
     g.connect(n1, "out", wv, "in")
-    assert _plan_of(g) == {}
+    assert _plan_of(g) == []
 
 
 def test_fusion_blocked_inside_cycles():
     g, inp, n1, n2, out = _pair_graph()
     g.connect(n2, "out", n1, "in")           # feedback around the pair
-    assert _plan_of(g) == {}
+    assert _plan_of(g) == []
 
 
 def test_fusion_plan_on_three_chain():
-    """lp -> lp -> lp fuses exactly one pair; the leftover runs solo."""
+    """lp -> lp -> lp: the dim-2 cap fuses one pair; the leftover runs
+    solo (dropped from the plan)."""
     g = dst.Graph()
     inp = g.add("input")
     f1 = g.add("low_pass", ratio=0.3)
@@ -142,9 +147,8 @@ def test_fusion_plan_on_three_chain():
     out = g.add("output")
     g.chain(inp, f1, f2, f3, out)
     plan = _plan_of(g)
-    assert len(plan) == 1
-    ((sec2, (sec1, k1, k2)),) = plan.items()
-    assert {sec1, sec2} < {f1.id, f2.id, f3.id} and k1 == k2 == "lp"
+    assert len(plan) == 1 and len(plan[0]) == 2
+    assert set(plan[0]) < {f1.id, f2.id, f3.id}
     x = _sig(T, seed=7)
     with precision.policy("fast"):
         outs, _, _ = dst.compile_graph(g).render({str(inp.id): x})
@@ -164,13 +168,13 @@ def test_fusion_plan_on_three_chain():
 
 def test_fusion_inactive_outside_fast_policy(monkeypatch):
     calls = []
-    orig = cascade.one_pole_pair
+    orig = cascade.linear_cascade
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(cascade, "one_pole_pair", spy)
+    monkeypatch.setattr(cascade, "linear_cascade", spy)
     g, inp, n1, n2, out = _pair_graph()
     x = _sig(1536, seed=9)
     with precision.policy("parity"):
@@ -182,13 +186,13 @@ def test_fusion_inactive_under_fit_overrides(monkeypatch):
     """Traced parameter overrides (the fit path) must fall back to the
     per-node eval -- the ratios are no longer trace-time constants."""
     calls = []
-    orig = cascade.one_pole_pair
+    orig = cascade.linear_cascade
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(cascade, "one_pole_pair", spy)
+    monkeypatch.setattr(cascade, "linear_cascade", spy)
     g, inp, n1, n2, out = _pair_graph()
     x = _sig(1536, seed=11)
     with precision.policy("fast"):
@@ -215,3 +219,113 @@ def test_fusion_batched_matches_solo():
         solo, _, _ = dst.compile_graph(g).render({str(inp.id): x[0]})
     np.testing.assert_allclose(np.asarray(outs)[0], np.asarray(solo),
                                rtol=0, atol=2e-6)
+
+def _hop(v):
+    F32 = np.float32
+    return (v / F32(F32(1.0) + F32(0.0001))).astype(F32)
+
+
+def test_gain_biquad_run_fuses_and_matches_oracle(monkeypatch):
+    """gain -> biquad (the headline chain's shape) fuses into one solve
+    with the gain's scale folded into the composite taps; output and the
+    biquad's DirectForm1 state match the sequential oracle."""
+    calls = []
+    orig = cascade.linear_cascade
+
+    def spy(x, sections, s_init):
+        calls.append(sections)
+        return orig(x, sections, s_init)
+
+    monkeypatch.setattr(cascade, "linear_cascade", spy)
+    g = dst.Graph()
+    inp = g.add("input")
+    gn = g.add("gain", level=1.2)
+    bq = g.add("biquad", a0=1.0, a1=-0.24, a2=0.0, b0=0.758, b1=0.1,
+               b2=0.05)
+    out = g.add("output")
+    g.chain(inp, gn, bq, out)
+    x = _sig(T, seed=21)
+    with precision.policy("fast"):
+        outs, _, st = dst.compile_graph(g).render({str(inp.id): x})
+    assert calls and [k for k, _ in calls[0]] == ["gain", "gain", "bq"]
+
+    v = (_hop(x) * np.float32(1.2)).astype(np.float32)
+    want, stw = oracle.biquad_df1(_hop(v), 1.0, -0.24, 0.0, 0.758, 0.1,
+                                  0.05)
+    want = _hop(want)
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    got_st = st[str(bq.id)]
+    for key, want_v in zip(("x1", "x2", "y1", "y2"), stw):
+        assert abs(float(np.asarray(got_st[key])) - float(want_v)) < 1e-5, \
+            key
+
+
+def test_gain_biquad_run_segmented_state_carry():
+    """Two chained half-renders through a fused gain -> biquad run equal
+    the one-shot render (the rebuilt DirectForm1 state is the true carry)."""
+    g = dst.Graph()
+    inp = g.add("input")
+    gn = g.add("gain", level=0.9)
+    bq = g.add("biquad", a0=1.0, a1=-0.5, a2=0.2, b0=0.6, b1=0.2, b2=0.1)
+    out = g.add("output")
+    g.chain(inp, gn, bq, out)
+    x = _sig(2560, seed=23)
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        full, _, _ = cg.render({str(inp.id): x})
+        a, _, st = cg.render({str(inp.id): x[:1280]})
+        b, _, _ = cg.render({str(inp.id): x[1280:]}, state=st)
+    got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
+    err = np.max(np.abs(got.astype(np.float64) - np.asarray(full)[0]))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+
+
+def test_zero_post_gain_blocks_biquad_run(monkeypatch):
+    """A level-0 gain AFTER a biquad blocks the fold (the DirectForm1
+    y-history would need division by the post-gain product); the graph
+    still renders correctly unfused."""
+    calls = []
+    orig = cascade.linear_cascade
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cascade, "linear_cascade", spy)
+    g = dst.Graph()
+    inp = g.add("input")
+    bq = g.add("biquad", a0=1.0, a1=-0.24, a2=0.0, b0=0.758, b1=0.0,
+               b2=0.0)
+    gn = g.add("gain", level=0.0)
+    out = g.add("output")
+    g.chain(inp, bq, gn, out)
+    x = _sig(1536, seed=25)
+    with precision.policy("fast"):
+        outs, _, _ = dst.compile_graph(g).render({str(inp.id): x})
+    assert not calls
+    np.testing.assert_array_equal(np.asarray(outs)[0],
+                                  np.zeros(1536, np.float32))
+
+
+def test_gain_chain_folds_into_one_pole():
+    """gain -> gain -> lp is one run (dim 1): both gain scales fold into
+    the solve and the lp state stays exact."""
+    plan_g = dst.Graph()
+    inp = plan_g.add("input")
+    g1 = plan_g.add("gain", level=0.7)
+    g2 = plan_g.add("gain", level=1.4)
+    lp = plan_g.add("low_pass", ratio=0.6)
+    out = plan_g.add("output")
+    plan_g.chain(inp, g1, g2, lp, out)
+    assert _plan_of(plan_g) == [[g1.id, g2.id, lp.id]]
+    x = _sig(T, seed=27)
+    with precision.policy("fast"):
+        outs, _, st = dst.compile_graph(plan_g).render({str(inp.id): x})
+    v = (_hop(x) * np.float32(0.7)).astype(np.float32)
+    v = (_hop(v) * np.float32(1.4)).astype(np.float32)
+    want, zw = oracle.low_pass(_hop(v), 0.6)
+    want = _hop(want)
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert abs(float(np.asarray(st[str(lp.id)]["z"])) - float(zw)) < 1e-6

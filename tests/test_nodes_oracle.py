@@ -458,6 +458,11 @@ def test_biquad_blocked_fast_policy(coeffs):
     (-1.2, 0.5, 0.4, 0.2, 0.1),          # full biquad
 ])
 def test_biquad_blocked_state_carry_fast(args):
+    """Split-vs-full render with carried state.  On TPU the benign-tap
+    solvers run bf16x3 GEMMs (utils.precision.gemm_precision), whose
+    block-alignment-dependent roundings put the split-vs-full residual
+    in the -109 dBFS class (measured) instead of CPU's -120."""
+    from conftest import ON_TPU
     x = sig(1024)
     f = np.float32
     args = tuple(f(a) for a in args)
@@ -466,7 +471,7 @@ def test_biquad_blocked_state_carry_fast(args):
         y1, st = scan.biquad_df1(x[:500], *args)
         y2, _ = scan.biquad_df1(x[500:], *args, state=st)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
-    assert_dbfs(got, np.asarray(y_full), -120.0)
+    assert_dbfs(got, np.asarray(y_full), -100.0 if ON_TPU else -120.0)
 
 
 @pytest.mark.parametrize("n_taps,T", [(400, 10_000), (300, 50_000)])
@@ -588,3 +593,31 @@ def test_biquad_concrete_coeffs_dispatch_to_static_path(monkeypatch):
         jax.make_jaxpr(lambda x: scan_mod.biquad_df1(
             x, -0.2, 0.1, 0.8, 0.1, 0.0))(x)
     assert seen.get("concrete") is True
+
+
+def test_gemm_precision_gating(monkeypatch):
+    """bf16x3 eligibility (utils.precision.gemm_precision): fast policy +
+    TPU backend + tap l1 under the ceiling; everything else — resonant
+    taps, traced coefficients (l1 None), other policies, the
+    DST_GEMM_HIGHEST escape hatch — stays HIGHEST."""
+    import jax
+    from dsp_stuff_tpu.utils import precision as P
+    monkeypatch.setattr(P, "tpu_backend", lambda: True)
+    monkeypatch.delenv("DST_GEMM_HIGHEST", raising=False)
+    HI, HM = jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH
+    with P.policy("fast"):
+        assert P.gemm_precision(1.0) == HM
+        assert P.gemm_precision(P.GEMM_HIGH_L1_CEILING) == HM
+        assert P.gemm_precision(P.GEMM_HIGH_L1_CEILING * 1.01) == HI
+        assert P.gemm_precision(None) == HI
+    with P.policy("parity"):
+        assert P.gemm_precision(1.0) == HI
+    with P.policy("exact"):
+        assert P.gemm_precision(1.0) == HI
+    monkeypatch.setenv("DST_GEMM_HIGHEST", "1")
+    with P.policy("fast"):
+        assert P.gemm_precision(1.0) == HI
+    monkeypatch.setattr(P, "tpu_backend", lambda: False)
+    monkeypatch.delenv("DST_GEMM_HIGHEST", raising=False)
+    with P.policy("fast"):
+        assert P.gemm_precision(1.0) == HI
