@@ -282,3 +282,110 @@ def test_random_graph_streaming_matches_offline(seed):
     # FMA), so the residual is the 1-ulp class, not zero
     db_x = oracle.max_err_dbfs(pipelined, streamed)
     assert db_x <= -120.0, f"seed {seed}: forms differ {db_x:.1f} dBFS"
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42, 77, 123])
+def test_random_graph_fast_policy_vs_oracle(seed):
+    """FAST-policy renders vs the oracle interpreter on random topologies.
+
+    The parity fuzz above runs with linear-run fusion OFF (fusion is
+    fast-policy only), so this is the safety net for the fusion planner
+    (compiler _plan_linear_fusion): random gain/filter/biquad
+    adjacencies, fan-in/fan-out edge cases, and cycle exclusions all
+    render through whatever runs the planner finds.  Bound: the fast
+    blocked lowerings hold ~-84 dBFS worst-case on resonant draws (see
+    test_biquad_blocked_fast_policy); the generator's pole range is
+    benign, but transcendental stacking matches the parity fuzz note, so
+    -80 dBFS."""
+    g, inp_id, out_id = _random_graph(seed)
+    rng = np.random.default_rng(7000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    with precision.policy("fast"):
+        outs, _, _ = dst.render(g, {str(inp_id): x})
+    want = oracle_graph.evaluate(g, {inp_id: x}, T)[out_id]
+    got = np.asarray(outs)[0]
+    assert np.isfinite(want).all(), "oracle blew up — bad generator params"
+    db = oracle.max_err_dbfs(got, want)
+    assert db <= -80.0, f"seed {seed}: {db:.1f} dBFS"
+
+
+def _random_linear_chain_graph(seed):
+    """Chain-shaped generator that actually exercises the linear-run
+    fusion planner: a straight chain of linear nodes (gain / low_pass /
+    high_pass / biquad with stable random poles) with occasional
+    nonlinear separators (run boundaries) and occasional analysis taps
+    (extra-consumer exclusions)."""
+    rng = np.random.default_rng(seed)
+    g = dst.Graph(IdSpace())
+    prev = g.add("input")
+    inp_id = prev.id
+    for _ in range(int(rng.integers(4, 10))):
+        r = rng.random()
+        if r < 0.22:
+            n = g.add("gain", level=float(rng.uniform(0.2, 1.8)))
+        elif r < 0.44:
+            n = g.add("low_pass", ratio=float(rng.uniform(0.05, 0.95)))
+        elif r < 0.62:
+            n = g.add("high_pass", ratio=float(rng.uniform(0.05, 0.95)))
+        elif r < 0.84:
+            p1, p2 = rng.uniform(-0.9, 0.9, 2)        # stable real poles
+            n = g.add("biquad", a0=1.0, a1=float(-(p1 + p2)),
+                      a2=float(p1 * p2),
+                      b0=float(rng.uniform(0.2, 1.0)),
+                      b1=float(rng.uniform(-0.5, 0.5)),
+                      b2=float(rng.uniform(-0.5, 0.5)))
+        else:
+            n = g.add("distort", mode="SoftClip",
+                      level=float(rng.uniform(0.5, 4.0)))
+        g.connect(prev, "out", n, "in")
+        if rng.random() < 0.15:                        # tap blocks a run
+            wv = g.add("wave_view")
+            g.connect(n, "out", wv, "in")
+        prev = n
+    out = g.add("output")
+    g.connect(prev, "out", out, "in")
+    return g, inp_id, out.id
+
+
+@pytest.mark.parametrize("seed", list(range(20)))
+def test_random_linear_chain_fast_vs_oracle(seed):
+    """Fast-policy chain fuzz over the fusion planner's whole surface:
+    random run shapes (gain folds, one-pole pairs, biquads with stable
+    random poles), dim-cap splits, and tap/nonlinearity boundaries must
+    match the per-node oracle interpreter.  The l1-gated GEMM precision
+    (utils.precision.gemm_precision) keeps resonant draws at HIGHEST,
+    so the fast blocked bound applies throughout."""
+    g, inp_id, out_id = _random_linear_chain_graph(seed)
+    rng = np.random.default_rng(8000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    with precision.policy("fast"):
+        outs, _, _ = dst.render(g, {str(inp_id): x})
+    want = oracle_graph.evaluate(g, {inp_id: x}, T)[out_id]
+    got = np.asarray(outs)[0]
+    assert np.isfinite(want).all(), "oracle blew up — bad generator params"
+    db = oracle.max_err_dbfs(got, want)
+    assert db <= -80.0, f"seed {seed}: {db:.1f} dBFS"
+
+
+@pytest.mark.parametrize("seed", [0, 3, 5, 9, 14])
+def test_random_linear_chain_segmented_state_carry(seed):
+    """Two chained half-renders through fused runs equal the one-shot
+    render: every run shape's composite-state handoff (one-pole
+    components, the biquad DirectForm1 rebuild from run histories) at
+    once.  CPU bound -100 dBFS (blocked lowerings reassociate when T
+    changes); on TPU the bf16x3 GEMMs add block-alignment re-rounding
+    (-10x class), same note as test_biquad_blocked_state_carry_fast."""
+    from conftest import ON_TPU
+    g, inp_id, out_id = _random_linear_chain_graph(seed)
+    rng = np.random.default_rng(9000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    half = T // 2
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        full, _, _ = cg.render({str(inp_id): x})
+        a, _, st = cg.render({str(inp_id): x[:half]})
+        b, _, _ = cg.render({str(inp_id): x[half:]}, state=st)
+    got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
+    db = oracle.max_err_dbfs(got, np.asarray(full)[0])
+    bound = -90.0 if ON_TPU else -100.0
+    assert db <= bound, f"seed {seed}: {db:.1f} dBFS"
