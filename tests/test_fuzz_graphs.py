@@ -389,3 +389,23 @@ def test_random_linear_chain_segmented_state_carry(seed):
     db = oracle.max_err_dbfs(got, np.asarray(full)[0])
     bound = -90.0 if ON_TPU else -100.0
     assert db <= bound, f"seed {seed}: {db:.1f} dBFS"
+
+
+@pytest.mark.parametrize("seed", [2, 7])
+def test_random_linear_chain_streaming_matches_offline(seed):
+    """Fused runs inside the StreamSession scan body (process_many) and
+    the per-block path must match the offline render -- the cascade's
+    trace-time constants have to hoist out of the block scan exactly
+    like the per-node solvers'."""
+    from dsp_stuff_tpu.runtime.stream import StreamSession
+    g, inp_id, out_id = _random_linear_chain_graph(seed)
+    rng = np.random.default_rng(10_000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    with precision.policy("fast"):
+        offline, _, _ = dst.render(g, {str(inp_id): x})
+        sess = StreamSession(g)
+        got1 = sess.process_many({str(inp_id): x[: T // 2]})[0]
+        got2 = sess.process_many({str(inp_id): x[T // 2:]})[0]
+    got = np.concatenate([got1, got2])
+    db = oracle.max_err_dbfs(got, np.asarray(offline)[0])
+    assert db <= -90.0, f"seed {seed}: {db:.1f} dBFS"
