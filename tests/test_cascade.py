@@ -329,3 +329,30 @@ def test_gain_chain_folds_into_one_pole():
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
     assert 20 * np.log10(max(err, 1e-30)) <= -100.0
     assert abs(float(np.asarray(st[str(lp.id)]["z"])) - float(zw)) < 1e-6
+
+
+def test_run_head_fan_in_allowed():
+    """Fan-in INTO the head of a run is legal (only internal links must
+    be sole): two sources average into gain -> lp, fused."""
+    g = dst.Graph()
+    i1 = g.add("input")
+    sg = g.add("signal_gen", mode="Sine", frequency=200.0, amplitude=0.4)
+    gn = g.add("gain", level=0.8)
+    lp = g.add("low_pass", ratio=0.4)
+    out = g.add("output")
+    g.connect(i1, "out", gn, "in")
+    g.connect(sg, "out", gn, "in")
+    g.chain(gn, lp, out)
+    assert _plan_of(g) == [[gn.id, lp.id]]
+    x = _sig(1536, seed=31)
+    with precision.policy("fast"):
+        outs, _, _ = dst.compile_graph(g).render({str(i1.id): x})
+    osc, _ = oracle.signal_gen("Sine", 0.4, 200.0, 1536)
+    F32 = np.float32
+    summed = (x + osc).astype(F32)
+    v = (summed / F32(F32(2.0) + F32(0.0001))).astype(F32)
+    v = (v * F32(0.8)).astype(F32)
+    want, _ = oracle.low_pass(_hop(v), 0.4)
+    want = _hop(want)
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
