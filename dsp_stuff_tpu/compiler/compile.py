@@ -346,9 +346,9 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
         signal);
       * no node receives links on any port besides "in" (no modulation
         into a fused section -- gain's level port included);
-      * the composite state dimension is capped at 2 (the vec2 carry
-        machinery): longer chains split greedily, e.g.
-        lp -> hp -> biquad fuses as [lp, hp] + solo biquad;
+      * the composite state dimension is capped at
+        ops/cascade.MAX_RUN_DIM (= 4: up to two biquads, or a biquad
+        plus two one-poles); longer chains split greedily;
       * a run keeps >= 2 nodes and >= 1 stateful section (pure-gain
         chains are XLA's elementwise fusion problem, not ours).
     """
@@ -382,6 +382,7 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
     def dim(nid) -> int:
         return SECTION_DIMS[_LINEAR_KINDS[nodes[nid].cfg_name]]
 
+    from dsp_stuff_tpu.ops.cascade import MAX_RUN_DIM
     runs = []
     targets = set(nxt.values())
     for nid in nodes:
@@ -393,7 +394,7 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
         seg: list = []
         d = 0
         for n in chain + [None]:
-            if n is None or d + dim(n) > 2:
+            if n is None or d + dim(n) > MAX_RUN_DIM:
                 if len(seg) >= 2 and d >= 1:
                     runs.append(seg)
                 seg, d = [], 0
@@ -513,7 +514,6 @@ def compile_graph(graph: Graph, block_size: int = 128,
         non-concrete params, a zero post-gain after a biquad)."""
         h = 1.0 / float(_fanin_divisor(1))
         secs: list = []
-        bq_seen = False
         for i, nid in enumerate(run):
             if str(nid) in (pdict or {}):
                 return None                  # traced overrides: no fold
@@ -524,10 +524,6 @@ def compile_graph(graph: Graph, block_size: int = 128,
             if kind == "gain":
                 lvl = node.params["level"]
                 if not isinstance(lvl, (int, float, np.floating)):
-                    return None
-                if bq_seen and np.float32(lvl) == 0.0:
-                    # the biquad's DirectForm1 y-history rebuilds by
-                    # dividing the run output by the post-gain product
                     return None
                 secs.append(("gain", float(np.float32(lvl))))
             elif kind in ("lp", "hp"):
@@ -546,7 +542,6 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 cf = tuple(float(np.float32(np.float32(v) / a0))
                            for v in raw[1:])
                 secs.append(("bq", cf))
-                bq_seen = True
         return tuple(secs)
 
     def _active_fusion(pdict) -> tuple[dict, set]:
@@ -595,10 +590,11 @@ def compile_graph(graph: Graph, block_size: int = 128,
                                     _LINEAR_KINDS[nodes[n].cfg_name]] > 0]
                     s_in = cascade.cascade_state_in(
                         secs, [state[str(n)] for n in stateful])
-                    y, s_T = cascade.linear_cascade(x1, secs, s_in)
-                    for n, st_new in zip(
-                            stateful,
-                            cascade.cascade_state_out(secs, s_T, x1, y)):
+                    y, s_tm1, s_tm2 = cascade.linear_cascade(
+                        x1, secs, s_in)
+                    st_outs = cascade.cascade_state_out(
+                        secs, s_tm1, s_tm2, x1[..., -1], x1[..., -2])
+                    for n, st_new in zip(stateful, st_outs):
                         state[str(n)] = st_new
                     values[(nid, "out")] = y
                     continue

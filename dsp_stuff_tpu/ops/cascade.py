@@ -27,17 +27,19 @@ Series composition (sys2 consuming h * y1) is exact in this convention:
     C = [D2 h C1, C2],             D = D2 h D1
 
 so a whole run collapses to ONE composite (A, B, C, D) with state dim
-n = sum of section dims (the compiler caps n <= 2), lowering exactly
-like one first-order op: a combined-taps triangular-Toeplitz GEMM
-(g[0] = D, g[d] = C A^(d-1) B), one [C_blk, 2] chunk-end mat-vec, and
-the tiny vec2 carry chain (ops/scan._vec2_recurrence).  One signal read
-+ one write where an unfused k-node run pays up to k of each.
+n = sum of section dims (capped at MAX_RUN_DIM = 4: up to two biquads,
+or one plus two one-poles), lowering exactly like one first-order op: a
+combined-taps triangular-Toeplitz GEMM (g[0] = D, g[d] = C A^(d-1) B),
+one [C_blk, N] chunk-end mat-vec, and the tiny vecN carry chain
+(ops/scan._vec2_recurrence for N = 2, _vecn_recurrence for N = 4).
+One signal read + one write where an unfused k-node run pays up to k of
+each.
 
-Per-node states survive exactly: one-pole sections read their component
-of the composite end state; a biquad's DirectForm1 state rebuilds from
-the run input/output histories (x_i = s_pre x[T-i], y_i = y[T-i]/s_post
-with s_pre/s_post the scalar gains before/after it — the compiler
-refuses runs with a zero post-gain).
+Per-node states survive exactly: the composite states entering samples
+T-1 and T-2 (two masked mat-vecs over the last chunk) forward-
+substitute through the sections, yielding each one-pole's z and each
+biquad's own input/output history — its true DirectForm1 state, with
+no division by downstream gains.
 
 Fast-policy only (concrete parameters); the compiler
 (compiler/compile.py _plan_linear_fusion) guarantees the preconditions.
@@ -55,6 +57,65 @@ from dsp_stuff_tpu.ops.scan import _BLOCK_C, _vec2_recurrence
 
 #: state dimension per section kind
 SECTION_DIMS = {"gain": 0, "lp": 1, "hp": 1, "bq": 2}
+
+#: composite state-dimension cap for fused runs (the vecN carry chain;
+#: dim 3 embeds into 4)
+MAX_RUN_DIM = 4
+
+
+def _vecn_recurrence(M_np: np.ndarray, w, C2: int = 128):
+    """s_k = M s_{k-1} + w_k with constant [n, n] M (trace-time NumPy),
+    s_{-1} = 0, w [..., K, n].  The n-dim generalization of
+    ops/scan._vec2_recurrence (which stays the 2-dim fast path): within
+    a chunk of C2 steps the zero-state response is one einsum against
+    the masked power tensor Lt[j, i] = M^(i-j) ([C2, C2, n, n],
+    trace-time constant), chunk carries recurse."""
+    f32 = jnp.float32
+    n = M_np.shape[0]
+    K = w.shape[-2]
+    hi = jax.lax.Precision.HIGHEST
+    if K <= 8:
+        Mb = jnp.broadcast_to(jnp.asarray(M_np.astype(np.float32)),
+                              (*w.shape[:-1], n, n))
+
+        def combine(l, r):
+            A1, v1 = l
+            A2, v2 = r
+            return jnp.einsum("...ij,...jk->...ik", A2, A1,
+                              preferred_element_type=f32, precision=hi), \
+                jnp.einsum("...ij,...j->...i", A2, v1,
+                           preferred_element_type=f32, precision=hi) + v2
+
+        _, s = jax.lax.associative_scan(combine, (Mb, w), axis=w.ndim - 2)
+        return s
+
+    KG = -(-K // C2)
+    pad = KG * C2 - K
+    wp = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, pad), (0, 0)])
+    W = wp.reshape(*w.shape[:-2], KG, C2, n)
+
+    Mpow_np = np.empty((C2 + 1, n, n), np.float64)
+    Mpow_np[0] = np.eye(n)
+    M64 = M_np.astype(np.float64)
+    for t in range(1, C2 + 1):
+        Mpow_np[t] = M64 @ Mpow_np[t - 1]
+    Mpow_np = Mpow_np.astype(np.float32)
+    i = np.arange(C2)
+    Lt = jnp.asarray(np.where(
+        (i[:, None] <= i[None, :])[..., None, None],
+        Mpow_np[np.clip(i[None, :] - i[:, None], 0, C2)], 0.0
+    ).astype(np.float32))
+    zs = jnp.einsum("jiab,...kjb->...kia", Lt, W,
+                    preferred_element_type=f32, precision=hi)
+
+    ends = zs[..., :, C2 - 1, :]                           # [..., KG, n]
+    e = _vecn_recurrence(Mpow_np[C2], ends, C2)            # [..., KG, n]
+    zero = jnp.zeros_like(e[..., :1, :])
+    carry_in = jnp.concatenate([zero, e[..., :-1, :]], axis=-2)
+    s = zs + jnp.einsum("iab,...kb->...kia", jnp.asarray(Mpow_np[1:]),
+                        carry_in,
+                        preferred_element_type=f32, precision=hi)
+    return s.reshape(*w.shape[:-2], KG * C2, n)[..., :K, :]
 
 
 def _section_ss(kind: str, p):
@@ -101,14 +162,26 @@ def compose_sections(sections):
     return A1, B1, C1, D1
 
 
-def _embed2(A, B, C):
-    """Pad a dim-0/1 composite to the 2-dim carry machinery."""
+def composite_dim(sections) -> int:
+    return sum(SECTION_DIMS[k] for k, _ in sections)
+
+
+def _embed_dim(n: int) -> int:
+    """Carry-machinery dimension: 2 (ops/scan._vec2_recurrence fast
+    path) or 4 (_vecn_recurrence)."""
+    if n > MAX_RUN_DIM:
+        raise ValueError(f"composite state dim {n} > {MAX_RUN_DIM}")
+    return 2 if n <= 2 else 4
+
+
+def _embedN(A, B, C, N: int):
+    """Pad a composite to the N-dim carry machinery (zeros decay)."""
     n = A.shape[0]
-    if n == 2:
+    if n == N:
         return A, B, C
-    A2 = np.zeros((2, 2), np.float64)
-    B2 = np.zeros((2,), np.float64)
-    C2 = np.zeros((2,), np.float64)
+    A2 = np.zeros((N, N), np.float64)
+    B2 = np.zeros((N,), np.float64)
+    C2 = np.zeros((N,), np.float64)
     A2[:n, :n] = A
     B2[:n] = B
     C2[:n] = C
@@ -121,10 +194,11 @@ def _cascade_constants(sections: tuple, C: int):
     to f32 -- same constant-precision contract as the biquad's folded
     impulse response, ops/scan.py _biquad_blocked)."""
     A, B, Cv, D = compose_sections(sections)
-    A, B, Cv = _embed2(A, B, Cv)
+    N = _embed_dim(A.shape[0])
+    A, B, Cv = _embedN(A, B, Cv, N)
 
-    P = np.empty((C + 1, 2, 2), np.float64)
-    P[0] = np.eye(2)
+    P = np.empty((C + 1, N, N), np.float64)
+    P[0] = np.eye(N)
     for t in range(1, C + 1):
         P[t] = A @ P[t - 1]
 
@@ -136,16 +210,15 @@ def _cascade_constants(sections: tuple, C: int):
     diff = i[None, :] - i[:, None]
     Ltg = np.where(diff >= 0, g[np.clip(diff, 0, C - 1)], 0.0)  # [C, C]
 
-    W = np.einsum("dij,j->di", P[C - 1::-1], B)        # ends taps [C, 2]
-    E = np.einsum("i,dij->dj", Cv, P[:C])              # carry->y    [C, 2]
+    W = np.einsum("dij,j->di", P[C - 1::-1], B)        # ends taps [C, N]
+    E = np.einsum("i,dij->dj", Cv, P[:C])              # carry->y    [C, N]
 
     # bf16x3 eligibility bound for the output GEMM
     # (utils.precision.gemm_precision)
     l1 = float(np.abs(g).sum())
 
     f32 = np.float32
-    return (Ltg.astype(f32), W.astype(f32), E.astype(f32),
-            P[C].astype(f32), P.astype(f32), B.astype(f32), l1)
+    return (Ltg.astype(f32), W.astype(f32), E.astype(f32), P, N, B, l1)
 
 
 @functools.partial(jax.jit, static_argnums=(1,), inline=True)
@@ -153,9 +226,11 @@ def linear_cascade(x, sections: tuple, s_init):
     """Fused run of linear sections over ``x`` [..., T].
 
     ``s_init`` is the composite delayed state entering sample 0 (shape
-    [..., 2]; assemble with :func:`cascade_state_in`).  Returns
-    ``(y, s_T)`` where ``s_T`` [..., 2] is the composite state after all
-    T samples (decompose with :func:`cascade_state_out`).
+    [..., N], N = the embedded carry dim; assemble with
+    :func:`cascade_state_in`).  Returns ``(y, s_tm1, s_tm2)`` where
+    s_tm1/s_tm2 are the composite states ENTERING samples T-1 and T-2
+    (s_tm2 is None when T == 1); decompose into per-node states with
+    :func:`cascade_state_out`.
     """
     f32 = jnp.float32
     C = _BLOCK_C
@@ -163,8 +238,8 @@ def linear_cascade(x, sections: tuple, s_init):
     T = x.shape[-1]
     batch = x.shape[:-1]
 
-    s_init = jnp.broadcast_to(jnp.asarray(s_init, f32), (*batch, 2))
-    Ltg, W, E, AC, P, B, l1 = _cascade_constants(sections, C)
+    Ltg, W, E, P, N, B, l1 = _cascade_constants(sections, C)
+    s_init = jnp.broadcast_to(jnp.asarray(s_init, f32), (*batch, N))
     hi = jax.lax.Precision.HIGHEST
     from dsp_stuff_tpu.utils.precision import gemm_precision
     gp = gemm_precision(l1)
@@ -174,17 +249,21 @@ def linear_cascade(x, sections: tuple, s_init):
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     X = xp.reshape(*batch, K, C)
 
-    # chunk-end states: one [C, 2] side mat-vec over x (HIGHEST: the
+    # chunk-end states: one [C, N] side mat-vec over x (HIGHEST: the
     # mat-vec is bandwidth-bound -- no MXU win from bf16x3 -- and it
     # seeds the carry chain)
+    AC = P[C].astype(np.float32)
     ends = jnp.einsum("...kc,cb->...kb", X, jnp.asarray(W),
-                      preferred_element_type=f32, precision=hi)  # [...,K,2]
+                      preferred_element_type=f32, precision=hi)  # [...,K,N]
     ends = ends.at[..., 0, :].add(
         jnp.einsum("ij,...j->...i", jnp.asarray(AC), s_init,
                    preferred_element_type=f32, precision=hi))
-    S = _vec2_recurrence(jnp.asarray(AC), ends, M_np=np.asarray(AC))
+    if N == 2:
+        S = _vec2_recurrence(jnp.asarray(AC), ends, M_np=AC)
+    else:
+        S = _vecn_recurrence(AC, ends)
     carry_in = jnp.concatenate([s_init[..., None, :], S[..., :-1, :]],
-                               axis=-2)                          # [..., K, 2]
+                               axis=-2)                          # [..., K, N]
 
     # y = combined-taps GEMM + carried-state epilogue (fused by XLA)
     y = jnp.einsum("...kc,cd->...kd", X, jnp.asarray(Ltg),
@@ -193,53 +272,62 @@ def linear_cascade(x, sections: tuple, s_init):
                      preferred_element_type=f32, precision=hi)
     y = y.reshape(*batch, K * C)[..., :T].astype(f32)
 
-    # composite end state s[T].  The last chunk is zero-padded, so S[K-1]
-    # is the state AFTER the pad; instead take one masked [C, 2] mat-vec
-    # over the last chunk: s[T] = A^(i+1) s[(K-1)C] + sum_{j<=i} A^(i-j) B x[j]
+    # composite states entering samples T-1 and T-2, for the per-node
+    # state rebuild: one masked [C, N] mat-vec each over the owning
+    # chunk (all index math is trace-time)
+    def s_at(kb: int, m: int):
+        taps = np.zeros((C, N), np.float64)
+        if m > 0:
+            taps[:m] = np.einsum("dij,j->di", P[m - 1::-1], B)
+        zs = jnp.einsum("...c,cb->...b", X[..., kb, :],
+                        jnp.asarray(taps.astype(np.float32)),
+                        preferred_element_type=f32, precision=hi)
+        return jnp.einsum("ij,...j->...i",
+                          jnp.asarray(P[m].astype(np.float32)),
+                          carry_in[..., kb, :],
+                          preferred_element_type=f32, precision=hi) + zs
+
     i_last = (T - 1) % C
-    Wlast = np.zeros((C, 2), np.float64)
-    Wlast[: i_last + 1] = np.einsum("dij,j->di", P[i_last::-1], B)
-    Wlast = Wlast.astype(np.float32)
-    s_zs = jnp.einsum("...c,cb->...b", X[..., K - 1, :],
-                      jnp.asarray(Wlast),
-                      preferred_element_type=f32, precision=hi)
-    s_T = jnp.einsum("ij,...j->...i", jnp.asarray(P[i_last + 1]
-                                                  .astype(np.float32)),
-                     carry_in[..., K - 1, :],
-                     preferred_element_type=f32, precision=hi) + s_zs
-    return y, s_T
+    s_tm1 = s_at(K - 1, i_last)
+    if T == 1:
+        s_tm2 = None
+    elif i_last >= 1:
+        s_tm2 = s_at(K - 1, i_last - 1)
+    else:
+        s_tm2 = s_at(K - 2, C - 1)
+    return y, s_tm1, s_tm2
 
 
-def run_layout(sections):
-    """Per-stateful-section layout of a run: list of
-    (section_index, kind, offset, s_pre, s_post) where offset is the
-    section's position in the composite state vector and s_pre/s_post
-    are the products of scalar D-gains strictly before/after it
-    (needed to rebuild a biquad's DirectForm1 state)."""
-    out = []
+def _section_values(sections, s_t, x_t):
+    """Forward substitution through the run at ONE time step: given the
+    composite state s[t] [..., N] and the run input x[t], return per
+    section (kind, params, u_i[t], y_i[t], s_i[t]) -- everything the
+    per-node state rebuild needs."""
+    f32 = jnp.float32
+    u = jnp.asarray(x_t, f32)
     off = 0
-    for idx, (kind, p) in enumerate(sections):
-        d = SECTION_DIMS[kind]
-        if d:
-            pre = 1.0
-            for k2, p2 in sections[:idx]:
-                pre *= _section_ss(k2, p2)[3] if SECTION_DIMS[k2] == 0 else 1.0
-            post = 1.0
-            for k2, p2 in sections[idx + 1:]:
-                post *= _section_ss(k2, p2)[3] if SECTION_DIMS[k2] == 0 \
-                    else 1.0
-            out.append((idx, kind, off, pre, post))
-            off += d
+    out = []
+    for kind, p in sections:
+        A, B, Cv, D = _section_ss(kind, p)
+        d = A.shape[0]
+        s_i = s_t[..., off:off + d]
+        y = jnp.float32(D) * u
+        for k in range(d):
+            y = y + jnp.float32(Cv[k]) * s_i[..., k]
+        out.append((kind, p, u, y, s_i))
+        u = y
+        off += d
     return out
 
 
 def cascade_state_in(sections, node_states):
-    """Assemble the composite delayed state [..., 2] from per-node
+    """Assemble the composite delayed state [..., N] from per-node
     states.  ``node_states`` lists, in signal order, one dict per
     STATEFUL section: {"z": ...} for lp/hp, the DirectForm1
     {"x1","x2","y1","y2"} for bq (mapped to transposed-DF2 internals:
     w1 = b1 x1 + b2 x2 - a1 y1 - a2 y2,  w2 = b2 x1 - a2 y1)."""
     f32 = jnp.float32
+    N = _embed_dim(composite_dim(sections))
     comps = []
     si = 0
     for kind, p in sections:
@@ -257,26 +345,41 @@ def cascade_state_in(sections, node_states):
             y2 = jnp.asarray(st["y2"], f32)
             comps.append(b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2)
             comps.append(b2 * x1 - a2 * y1)
-    while len(comps) < 2:
+    while len(comps) < N:
         comps.append(jnp.zeros_like(comps[0]) if comps
                      else jnp.asarray(0.0, f32))
     return jnp.stack(jnp.broadcast_arrays(*comps), axis=-1)
 
 
-def cascade_state_out(sections, s_T, x, y):
-    """Decompose the composite end state into per-node state dicts (in
-    signal order, one per stateful section).  ``x``/``y`` are the run's
-    input/output signals (for the biquad's DirectForm1 histories)."""
+def cascade_state_out(sections, s_tm1, s_tm2, x_tm1, x_tm2):
+    """Per-node state dicts (in signal order, one per stateful section)
+    from the composite states entering samples T-1/T-2 and the run
+    inputs at those samples.
+
+    One-pole z is the section state AFTER consuming sample T-1
+    (A_i s_i + B_i u_i); a biquad's DirectForm1 state is its own
+    input/output history, reproduced exactly by forward substitution --
+    no division by downstream gains, so zero post-gains are fine."""
     f32 = jnp.float32
+    vals1 = _section_values(sections, s_tm1, x_tm1)
+    vals2 = None
+    if s_tm2 is not None:
+        vals2 = _section_values(sections, s_tm2, x_tm2)
     out = []
-    for idx, kind, off, pre, post in run_layout(sections):
+    for idx, (kind, p, u1, y1, s_i) in enumerate(vals1):
+        if SECTION_DIMS[kind] == 0:
+            continue
         if kind in ("lp", "hp"):
-            out.append({"z": s_T[..., off]})
+            r = np.float32(p)
+            out.append({"z": r * s_i[..., 0]
+                        + (jnp.float32(1.0) - r) * u1})
         else:
-            sp = jnp.float32(pre)
-            inv = jnp.float32(1.0 / post)
-            out.append({"x1": sp * x[..., -1], "x2": sp * x[..., -2],
-                        "y1": inv * y[..., -1], "y2": inv * y[..., -2]})
+            if vals2 is None:
+                raise ValueError(
+                    "fused biquad sections need T >= 2 to rebuild the "
+                    "DirectForm1 history")
+            _, _, u2, y2, _ = vals2[idx]
+            out.append({"x1": u1, "x2": u2, "y1": y1, "y2": y2})
     return out
 
 
@@ -290,6 +393,10 @@ def one_pole_pair(x, kind1: str, r1: float, kind2: str, r2: float,
     batch = jnp.asarray(x).shape[:-1]
     z1 = jnp.broadcast_to(jnp.asarray(z1, jnp.float32), batch)
     z2 = jnp.broadcast_to(jnp.asarray(z2, jnp.float32), batch)
-    y, s_T = linear_cascade(x, sections, jnp.stack([z1, z2], axis=-1))
-    (st1, st2) = cascade_state_out(sections, s_T, x, y)
+    y, s_tm1, s_tm2 = linear_cascade(
+        x, sections, jnp.stack([z1, z2], axis=-1))
+    x = jnp.asarray(x, jnp.float32)
+    x_tm2 = x[..., -2] if x.shape[-1] >= 2 else jnp.zeros_like(x[..., -1])
+    (st1, st2) = cascade_state_out(sections, s_tm1, s_tm2,
+                                   x[..., -1], x_tm2)
     return y, st1["z"], st2["z"]

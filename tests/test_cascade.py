@@ -137,8 +137,8 @@ def test_fusion_blocked_inside_cycles():
 
 
 def test_fusion_plan_on_three_chain():
-    """lp -> lp -> lp: the dim-2 cap fuses one pair; the leftover runs
-    solo (dropped from the plan)."""
+    """lp -> lp -> lp: dim 3 fits the dim-4 cap, so the whole chain
+    fuses as ONE run."""
     g = dst.Graph()
     inp = g.add("input")
     f1 = g.add("low_pass", ratio=0.3)
@@ -147,8 +147,7 @@ def test_fusion_plan_on_three_chain():
     out = g.add("output")
     g.chain(inp, f1, f2, f3, out)
     plan = _plan_of(g)
-    assert len(plan) == 1 and len(plan[0]) == 2
-    assert set(plan[0]) < {f1.id, f2.id, f3.id}
+    assert plan == [[f1.id, f2.id, f3.id]]
     x = _sig(T, seed=7)
     with precision.policy("fast"):
         outs, _, _ = dst.compile_graph(g).render({str(inp.id): x})
@@ -281,10 +280,11 @@ def test_gain_biquad_run_segmented_state_carry():
     assert 20 * np.log10(max(err, 1e-30)) <= -100.0
 
 
-def test_zero_post_gain_blocks_biquad_run(monkeypatch):
-    """A level-0 gain AFTER a biquad blocks the fold (the DirectForm1
-    y-history would need division by the post-gain product); the graph
-    still renders correctly unfused."""
+def test_zero_post_gain_biquad_run_fuses(monkeypatch):
+    """A level-0 gain AFTER a biquad no longer blocks the fold: the
+    DirectForm1 history rebuilds by forward substitution (no division
+    by the post-gain product).  Output is silence; the biquad state is
+    still its own true history."""
     calls = []
     orig = cascade.linear_cascade
 
@@ -302,10 +302,14 @@ def test_zero_post_gain_blocks_biquad_run(monkeypatch):
     g.chain(inp, bq, gn, out)
     x = _sig(1536, seed=25)
     with precision.policy("fast"):
-        outs, _, _ = dst.compile_graph(g).render({str(inp.id): x})
-    assert not calls
-    np.testing.assert_array_equal(np.asarray(outs)[0],
-                                  np.zeros(1536, np.float32))
+        outs, _, st = dst.compile_graph(g).render({str(inp.id): x})
+    assert calls
+    got = np.asarray(outs)[0]
+    assert np.max(np.abs(got)) < 1e-7
+    _, stw = oracle.biquad_df1(_hop(x), 1.0, -0.24, 0.0, 0.758, 0.0, 0.0)
+    for key, want_v in zip(("x1", "x2", "y1", "y2"), stw):
+        assert abs(float(np.asarray(st[str(bq.id)][key]))
+                   - float(want_v)) < 1e-5, key
 
 
 def test_gain_chain_folds_into_one_pole():
@@ -356,3 +360,72 @@ def test_run_head_fan_in_allowed():
     want = _hop(want)
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
     assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+
+
+def test_biquad_biquad_run_fuses_and_matches_oracle(monkeypatch):
+    """Two adjacent biquads (an EQ stack) fuse as one dim-4 solve; both
+    nodes' DirectForm1 states match the sequential oracle."""
+    calls = []
+    orig = cascade.linear_cascade
+
+    def spy(x, sections, s_init):
+        calls.append(sections)
+        return orig(x, sections, s_init)
+
+    monkeypatch.setattr(cascade, "linear_cascade", spy)
+    g = dst.Graph()
+    inp = g.add("input")
+    b1 = g.add("biquad", a0=1.0, a1=-0.6, a2=0.2, b0=0.8, b1=0.2, b2=0.1)
+    b2n = g.add("biquad", a0=1.0, a1=0.3, a2=0.1, b0=0.5, b1=-0.2,
+                b2=0.05)
+    out = g.add("output")
+    g.chain(inp, b1, b2n, out)
+    x = _sig(T, seed=33)
+    with precision.policy("fast"):
+        outs, _, st = dst.compile_graph(g).render({str(inp.id): x})
+    assert calls and [k for k, _ in calls[0]] == ["bq", "gain", "bq"]
+
+    v1, st1w = oracle.biquad_df1(_hop(x), 1.0, -0.6, 0.2, 0.8, 0.2, 0.1)
+    v2, st2w = oracle.biquad_df1(_hop(v1), 1.0, 0.3, 0.1, 0.5, -0.2, 0.05)
+    want = _hop(v2)
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-30)) <= -95.0
+    for nid, stw in ((b1.id, st1w), (b2n.id, st2w)):
+        for key, want_v in zip(("x1", "x2", "y1", "y2"), stw):
+            got_v = float(np.asarray(st[str(nid)][key]))
+            assert abs(got_v - float(want_v)) < 2e-5, (nid, key)
+
+
+def test_biquad_biquad_run_segmented_state_carry():
+    g = dst.Graph()
+    inp = g.add("input")
+    b1 = g.add("biquad", a0=1.0, a1=-0.6, a2=0.2, b0=0.8, b1=0.2, b2=0.1)
+    b2n = g.add("biquad", a0=1.0, a1=0.3, a2=0.1, b0=0.5, b1=-0.2,
+                b2=0.05)
+    out = g.add("output")
+    g.chain(inp, b1, b2n, out)
+    x = _sig(2560, seed=35)
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        full, _, _ = cg.render({str(inp.id): x})
+        a, _, st = cg.render({str(inp.id): x[:1280]})
+        b, _, _ = cg.render({str(inp.id): x[1280:]}, state=st)
+    got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
+    err = np.max(np.abs(got.astype(np.float64) - np.asarray(full)[0]))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+
+
+def test_fusion_plan_dim_cap_split():
+    """lp -> hp -> bq -> bq -> lp (dim 7) splits greedily at the dim-4
+    cap: [lp, hp, bq] then [bq, lp]."""
+    g = dst.Graph()
+    inp = g.add("input")
+    f1 = g.add("low_pass", ratio=0.3)
+    f2 = g.add("high_pass", ratio=0.2)
+    q1 = g.add("biquad", a0=1.0, a1=-0.2, a2=0.05, b0=0.9, b1=0.0,
+               b2=0.0)
+    q2 = g.add("biquad", a0=1.0, a1=0.1, a2=0.0, b0=0.7, b1=0.1, b2=0.0)
+    f3 = g.add("low_pass", ratio=0.8)
+    out = g.add("output")
+    g.chain(inp, f1, f2, q1, q2, f3, out)
+    assert _plan_of(g) == [[f1.id, f2.id, q1.id], [q2.id, f3.id]]
