@@ -429,3 +429,41 @@ def test_fusion_plan_dim_cap_split():
     out = g.add("output")
     g.chain(inp, f1, f2, q1, q2, f3, out)
     assert _plan_of(g) == [[f1.id, f2.id, q1.id], [q2.id, f3.id]]
+
+
+def test_one_pole_pair_state_carry_block_boundary_split():
+    """Segment length T == K*128 + 1 exercises the i_last == 0 branch of
+    the composite-state recovery (s[T-2] lives in the previous chunk)."""
+    x = _sig(1024, seed=41)
+    cut = 2 * 128 + 1
+    with precision.policy("fast"):
+        y_full, _, _ = cascade.one_pole_pair(x, "lp", 0.6, "hp", 0.2,
+                                             1.0, 0.0, 0.0)
+        y1, z1, z2 = cascade.one_pole_pair(x[:cut], "lp", 0.6, "hp", 0.2,
+                                           1.0, 0.0, 0.0)
+        y2, _, _ = cascade.one_pole_pair(x[cut:], "lp", 0.6, "hp", 0.2,
+                                         1.0, z1, z2)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    err = np.max(np.abs(got.astype(np.float64) - np.asarray(y_full)))
+    from conftest import ON_TPU
+    assert 20 * np.log10(max(err, 1e-30)) <= (-100.0 if ON_TPU else -120.0)
+
+
+def test_linear_cascade_biquad_block_boundary_split():
+    """Same i_last == 0 branch for a biquad section: the DirectForm1
+    rebuild needs s[T-2] from the previous chunk."""
+    secs = (("gain", 0.9), ("bq", (-0.5, 0.2, 0.6, 0.2, 0.1)))
+    x = _sig(1024, seed=43)
+    cut = 3 * 128 + 1
+    with precision.policy("fast"):
+        z0 = np.zeros(2, np.float32)
+        y_full, _, _ = cascade.linear_cascade(x, secs, z0)
+        y1, s1, s2 = cascade.linear_cascade(x[:cut], secs, z0)
+        (st,) = cascade.cascade_state_out(secs, s1, s2,
+                                          x[:cut][-1], x[:cut][-2])
+        s_in = cascade.cascade_state_in(secs, [st])
+        y2, _, _ = cascade.linear_cascade(x[cut:], secs, s_in)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    err = np.max(np.abs(got.astype(np.float64) - np.asarray(y_full)))
+    from conftest import ON_TPU
+    assert 20 * np.log10(max(err, 1e-30)) <= (-100.0 if ON_TPU else -115.0)
