@@ -510,8 +510,8 @@ def compile_graph(graph: Graph, block_size: int = 128,
     def _run_sections(run, pdict):
         """Concrete (kind, param) section tuple for a fusable run, with
         the link fan-in scales interleaved as gain sections -- or None
-        when this trace cannot fuse it (traced fit overrides,
-        non-concrete params, a zero post-gain after a biquad)."""
+        when this trace cannot fuse it (traced fit overrides or
+        non-concrete params)."""
         h = 1.0 / float(_fanin_divisor(1))
         secs: list = []
         for i, nid in enumerate(run):

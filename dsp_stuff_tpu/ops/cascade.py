@@ -31,7 +31,7 @@ n = sum of section dims (capped at MAX_RUN_DIM = 4: up to two biquads,
 or one plus two one-poles), lowering exactly like one first-order op: a
 combined-taps triangular-Toeplitz GEMM (g[0] = D, g[d] = C A^(d-1) B),
 one [C_blk, N] chunk-end mat-vec, and the tiny vecN carry chain
-(ops/scan._vec2_recurrence for N = 2, _vecn_recurrence for N = 4).
+(ops/scan._vecn_recurrence).
 One signal read + one write where an unfused k-node run pays up to k of
 each.
 
@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dsp_stuff_tpu.ops.scan import _BLOCK_C, _vec2_recurrence
+from dsp_stuff_tpu.ops.scan import _BLOCK_C, _vecn_recurrence
 
 #: state dimension per section kind
 SECTION_DIMS = {"gain": 0, "lp": 1, "hp": 1, "bq": 2}
@@ -62,60 +62,6 @@ SECTION_DIMS = {"gain": 0, "lp": 1, "hp": 1, "bq": 2}
 #: dim 3 embeds into 4)
 MAX_RUN_DIM = 4
 
-
-def _vecn_recurrence(M_np: np.ndarray, w, C2: int = 128):
-    """s_k = M s_{k-1} + w_k with constant [n, n] M (trace-time NumPy),
-    s_{-1} = 0, w [..., K, n].  The n-dim generalization of
-    ops/scan._vec2_recurrence (which stays the 2-dim fast path): within
-    a chunk of C2 steps the zero-state response is one einsum against
-    the masked power tensor Lt[j, i] = M^(i-j) ([C2, C2, n, n],
-    trace-time constant), chunk carries recurse."""
-    f32 = jnp.float32
-    n = M_np.shape[0]
-    K = w.shape[-2]
-    hi = jax.lax.Precision.HIGHEST
-    if K <= 8:
-        Mb = jnp.broadcast_to(jnp.asarray(M_np.astype(np.float32)),
-                              (*w.shape[:-1], n, n))
-
-        def combine(l, r):
-            A1, v1 = l
-            A2, v2 = r
-            return jnp.einsum("...ij,...jk->...ik", A2, A1,
-                              preferred_element_type=f32, precision=hi), \
-                jnp.einsum("...ij,...j->...i", A2, v1,
-                           preferred_element_type=f32, precision=hi) + v2
-
-        _, s = jax.lax.associative_scan(combine, (Mb, w), axis=w.ndim - 2)
-        return s
-
-    KG = -(-K // C2)
-    pad = KG * C2 - K
-    wp = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, pad), (0, 0)])
-    W = wp.reshape(*w.shape[:-2], KG, C2, n)
-
-    Mpow_np = np.empty((C2 + 1, n, n), np.float64)
-    Mpow_np[0] = np.eye(n)
-    M64 = M_np.astype(np.float64)
-    for t in range(1, C2 + 1):
-        Mpow_np[t] = M64 @ Mpow_np[t - 1]
-    Mpow_np = Mpow_np.astype(np.float32)
-    i = np.arange(C2)
-    Lt = jnp.asarray(np.where(
-        (i[:, None] <= i[None, :])[..., None, None],
-        Mpow_np[np.clip(i[None, :] - i[:, None], 0, C2)], 0.0
-    ).astype(np.float32))
-    zs = jnp.einsum("jiab,...kjb->...kia", Lt, W,
-                    preferred_element_type=f32, precision=hi)
-
-    ends = zs[..., :, C2 - 1, :]                           # [..., KG, n]
-    e = _vecn_recurrence(Mpow_np[C2], ends, C2)            # [..., KG, n]
-    zero = jnp.zeros_like(e[..., :1, :])
-    carry_in = jnp.concatenate([zero, e[..., :-1, :]], axis=-2)
-    s = zs + jnp.einsum("iab,...kb->...kia", jnp.asarray(Mpow_np[1:]),
-                        carry_in,
-                        preferred_element_type=f32, precision=hi)
-    return s.reshape(*w.shape[:-2], KG * C2, n)[..., :K, :]
 
 
 def _section_ss(kind: str, p):
@@ -258,10 +204,7 @@ def linear_cascade(x, sections: tuple, s_init):
     ends = ends.at[..., 0, :].add(
         jnp.einsum("ij,...j->...i", jnp.asarray(AC), s_init,
                    preferred_element_type=f32, precision=hi))
-    if N == 2:
-        S = _vec2_recurrence(jnp.asarray(AC), ends, M_np=AC)
-    else:
-        S = _vecn_recurrence(AC, ends)
+    S = _vecn_recurrence(AC, ends)
     carry_in = jnp.concatenate([s_init[..., None, :], S[..., :-1, :]],
                                axis=-2)                          # [..., K, N]
 
@@ -385,9 +328,10 @@ def cascade_state_out(sections, s_tm1, s_tm2, x_tm1, x_tm2):
 
 def one_pole_pair(x, kind1: str, r1: float, kind2: str, r2: float,
                   h: float, z1, z2):
-    """Fused ``sec1 -> (scale h) -> sec2`` one-pole cascade (the
-    original pair form, kept as the two-section special case of
-    :func:`linear_cascade`).  Returns ``(y, z1_new, z2_new)``."""
+    """Fused ``sec1 -> (scale h) -> sec2`` one-pole cascade: a
+    convenience wrapper over the two-section :func:`linear_cascade`
+    (the compiler calls linear_cascade directly).  Returns
+    ``(y, z1_new, z2_new)``."""
     sections = ((kind1, float(r1)), ("gain", float(h)),
                 (kind2, float(r2)))
     batch = jnp.asarray(x).shape[:-1]

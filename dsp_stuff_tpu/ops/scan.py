@@ -444,6 +444,61 @@ def _biquad_jit(x, coeffs, state, internal_dtype, sequential):
     return y, new_state
 
 
+def _vecn_recurrence(M_np: np.ndarray, w, C2: int = 128):
+    """s_k = M s_{k-1} + w_k with constant [n, n] M (trace-time NumPy),
+    s_{-1} = 0, w [..., K, n].  The n-dim blocked boundary-chain solver
+    (_vec2_recurrence delegates its concrete-M case here): within a
+    chunk of C2 steps the zero-state response is one einsum against the
+    masked power tensor Lt[j, i] = M^(i-j) ([C2, C2, n, n], trace-time
+    constant), chunk carries recurse."""
+    f32 = jnp.float32
+    n = M_np.shape[0]
+    K = w.shape[-2]
+    hi = jax.lax.Precision.HIGHEST
+    if K <= 8:
+        Mb = jnp.broadcast_to(jnp.asarray(M_np.astype(np.float32)),
+                              (*w.shape[:-1], n, n))
+
+        def combine(l, r):
+            A1, v1 = l
+            A2, v2 = r
+            return jnp.einsum("...ij,...jk->...ik", A2, A1,
+                              preferred_element_type=f32, precision=hi), \
+                jnp.einsum("...ij,...j->...i", A2, v1,
+                           preferred_element_type=f32, precision=hi) + v2
+
+        _, s = jax.lax.associative_scan(combine, (Mb, w), axis=w.ndim - 2)
+        return s
+
+    KG = -(-K // C2)
+    pad = KG * C2 - K
+    wp = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, pad), (0, 0)])
+    W = wp.reshape(*w.shape[:-2], KG, C2, n)
+
+    Mpow_np = np.empty((C2 + 1, n, n), np.float64)
+    Mpow_np[0] = np.eye(n)
+    M64 = M_np.astype(np.float64)
+    for t in range(1, C2 + 1):
+        Mpow_np[t] = M64 @ Mpow_np[t - 1]
+    Mpow_np = Mpow_np.astype(np.float32)
+    i = np.arange(C2)
+    Lt = jnp.asarray(np.where(
+        (i[:, None] <= i[None, :])[..., None, None],
+        Mpow_np[np.clip(i[None, :] - i[:, None], 0, C2)], 0.0
+    ).astype(np.float32))
+    zs = jnp.einsum("jiab,...kjb->...kia", Lt, W,
+                    preferred_element_type=f32, precision=hi)
+
+    ends = zs[..., :, C2 - 1, :]                           # [..., KG, n]
+    e = _vecn_recurrence(Mpow_np[C2], ends, C2)            # [..., KG, n]
+    zero = jnp.zeros_like(e[..., :1, :])
+    carry_in = jnp.concatenate([zero, e[..., :-1, :]], axis=-2)
+    s = zs + jnp.einsum("iab,...kb->...kia", jnp.asarray(Mpow_np[1:]),
+                        carry_in,
+                        preferred_element_type=f32, precision=hi)
+    return s.reshape(*w.shape[:-2], KG * C2, n)[..., :K, :]
+
+
 def _vec2_recurrence(M, w, C2: int = 128, M_np=None):
     """s_k = M s_{k-1} + w_k with constant [2,2] M, s_{-1} = 0, w [..., K, 2].
 
@@ -453,8 +508,12 @@ def _vec2_recurrence(M, w, C2: int = 128, M_np=None):
     carries recurse.  A K~22k associative scan of 2x2 matmuls was the
     last remaining while-loop in the compiled chain (~0.4 ms/render).
     ``M_np`` (a NumPy [2,2] mirror of M) makes the power tensors
-    trace-time constants.
+    trace-time constants -- that case delegates to the n-dim solver
+    (_vecn_recurrence); only the traced-M path (compile-time-unknown
+    coefficients, e.g. fitted biquads) lives here.
     """
+    if M_np is not None:
+        return _vecn_recurrence(np.asarray(M_np), w, C2)
     f32 = jnp.float32
     K = w.shape[-2]
     if K <= 8:
@@ -477,36 +536,19 @@ def _vec2_recurrence(M, w, C2: int = 128, M_np=None):
     wp = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, pad), (0, 0)])
     W = wp.reshape(*w.shape[:-2], KG, C2, 2)
 
-    if M_np is not None:
-        # M^0..M^C2 as trace-time NumPy constants (f64 chain, cast once)
-        Mpow_np = np.empty((C2 + 1, 2, 2), np.float64)
-        Mpow_np[0] = np.eye(2)
-        M64 = M_np.astype(np.float64)
-        for t in range(1, C2 + 1):
-            Mpow_np[t] = M64 @ Mpow_np[t - 1]
-        Mpow_np = Mpow_np.astype(np.float32)
-        i = np.arange(C2)
-        Lt2 = jnp.asarray(np.where(
-            (i[:, None] <= i[None, :])[..., None, None],
-            Mpow_np[np.clip(i[None, :] - i[:, None], 0, C2)], 0.0
-        ).astype(np.float32))
-        Mpow = jnp.asarray(Mpow_np)
-        MC2_np = Mpow_np[C2]
-    else:
-        # M^0..M^C2 by associative scan over log C2 levels (tiny)
-        Mb = jnp.broadcast_to(M, (C2, 2, 2))
+    # M^0..M^C2 by associative scan over log C2 levels (tiny)
+    Mb = jnp.broadcast_to(M, (C2, 2, 2))
 
-        def mcomb(l, r):
-            return jnp.einsum("...ij,...jk->...ik", r, l,
-                              preferred_element_type=f32,
-                              precision=jax.lax.Precision.HIGHEST)
+    def mcomb(l, r):
+        return jnp.einsum("...ij,...jk->...ik", r, l,
+                          preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST)
 
-        Mpow = jnp.concatenate([jnp.eye(2, dtype=f32)[None],
-                                jax.lax.associative_scan(mcomb, Mb, axis=0)])
-        MC2_np = None
-        i = jnp.arange(C2)
-        Lt2 = jnp.where((i[:, None] <= i[None, :])[..., None, None],
-                        Mpow[jnp.clip(i[None, :] - i[:, None], 0, C2)], 0.0)
+    Mpow = jnp.concatenate([jnp.eye(2, dtype=f32)[None],
+                            jax.lax.associative_scan(mcomb, Mb, axis=0)])
+    i = jnp.arange(C2)
+    Lt2 = jnp.where((i[:, None] <= i[None, :])[..., None, None],
+                    Mpow[jnp.clip(i[None, :] - i[:, None], 0, C2)], 0.0)
 
     zs = jnp.einsum("jiab,...kjb->...kia", Lt2, W,
                     preferred_element_type=f32,
@@ -514,7 +556,7 @@ def _vec2_recurrence(M, w, C2: int = 128, M_np=None):
 
     # carries across super-chunks: e_m = M^C2 e_{m-1} + zs[m, -1]
     ends = zs[..., :, C2 - 1, :]                           # [..., KG, 2]
-    e = _vec2_recurrence(Mpow[C2], ends, C2, M_np=MC2_np)  # [..., KG, 2]
+    e = _vec2_recurrence(Mpow[C2], ends, C2)               # [..., KG, 2]
     zero = jnp.zeros_like(e[..., :1, :])
     carry_in = jnp.concatenate([zero, e[..., :-1, :]], axis=-2)
     # fold: s[m, i] = zs[m, i] + M^(i+1) carry_in[m]
