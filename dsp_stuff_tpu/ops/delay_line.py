@@ -167,8 +167,9 @@ def _comb_chunks_blocked(xcb, decay, history, G_max: int = 256):
     KG*G=256 materialized a 28%-larger signal copy.
 
     K > G_max: two-level with G = ceil(K/KG) rounded up to a multiple
-    of 8 (exact fit or near it), so the pad stays <= 7 chunks instead
-    of up to 100%.
+    of 8 (exact fit or near it), so the pad stays <= 8*KG - 1 chunks
+    (the 8-alignment can add up to 7 per super-chunk) instead of up to
+    100%.
 
     xcb     -- [..., K, D] batch-major chunked input
     history -- [..., D] carry into chunk 0

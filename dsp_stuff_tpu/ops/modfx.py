@@ -33,6 +33,16 @@ _BARREL_MIN_T = 8192     # below this the gather is dispatch-bound anyway
 _BARREL_MAX_E = 16       # residual range cap (fast+deep LFOs fall back)
 
 
+def _batching_module():
+    """Indirection point for the private batching internals (tests force
+    the fallback by monkeypatching this to raise)."""
+    try:
+        from jax._src.interpreters import batching
+    except ImportError:          # private layout changed: public fallback
+        from jax.interpreters import batching
+    return batching
+
+
 def _vmap_batch_size(x) -> int:
     """Total vmapped batch size hidden above ``x`` (1 if unbatched).
 
@@ -40,17 +50,26 @@ def _vmap_batch_size(x) -> int:
     between two equally-correct lowerings; any API drift falls back to the
     batched-gather path."""
     try:
-        try:
-            from jax._src.interpreters import batching
-        except ImportError:      # private layout changed: public fallback
-            from jax.interpreters import batching
+        batching = _batching_module()
+        # tracer types known NOT to hide a batch axis behind them; any
+        # OTHER tracer (a future jax could layer batching behind one the
+        # walker can't see through) takes the conservative huge default,
+        # same as the exception path -- the batched-gather lowering is
+        # correct either way, only slower for truly-small batches
+        benign = {"DynamicJaxprTracer", "JaxprTracer", "JVPTracer",
+                  "ADTracer"}
         n = 1
         t = x
-        while isinstance(t, batching.BatchTracer):
-            d = t.batch_dim
-            if isinstance(d, int):
-                n *= t.val.shape[d]
-            t = t.val
+        while isinstance(t, jax.core.Tracer):
+            if isinstance(t, batching.BatchTracer):
+                d = t.batch_dim
+                if isinstance(d, int):
+                    n *= t.val.shape[d]
+                t = t.val
+            elif type(t).__name__ in benign:
+                break
+            else:
+                return 1 << 30
         return n
     except Exception:
         return 1 << 30

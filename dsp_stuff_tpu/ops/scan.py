@@ -83,16 +83,24 @@ def first_order_affine(a, b, y0):
                             pol.sequential_recurrences)
 
 
+def _trace_state_clean_fn():
+    """Indirection point for the private API (tests force the fallback by
+    monkeypatching this to raise)."""
+    from jax._src import core as _core
+    return _core.trace_state_clean
+
+
 def _inside_trace() -> bool:
     """True when called under an enclosing jax trace (jit/vmap/grad).
 
     trace_state_clean is a private API; if a jax upgrade moves it, fall
     back to probing whether a trivial computation produces a Tracer (an
-    eager context materializes a concrete array).  The fallback is slower
-    but only changes WHICH equally-correct lowering is picked."""
+    eager context materializes a concrete array; under omnistaging every
+    jnp op inside a trace is staged).  The fallback is slower but only
+    changes WHICH equally-correct lowering is picked
+    (tests/test_fallbacks.py pins their numerical equality)."""
     try:
-        from jax._src import core as _core
-        return not _core.trace_state_clean()
+        return not _trace_state_clean_fn()()
     except (ImportError, AttributeError):
         return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
 

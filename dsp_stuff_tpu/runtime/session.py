@@ -72,7 +72,10 @@ def render_file(graph_path: str, in_wavs=None, out_wav: str | None = None,
                convenience the reference lacks: its capture is pinned to
                48 kHz by construction, devices.rs:280-286; divergence
                documented in PARITY.md).  Off by default for parity.
-    Returns (outputs [n_out, T] np.float32, aux).
+    Returns (outputs, aux): the raw 48 kHz [n_out, T] np.float32 render,
+    UNLESS out_rate or stereo_out is set, in which case the export is
+    returned instead (resampled to out_rate and/or duplicated to stereo:
+    different length/rate and channel count than the raw render).
     """
     graph = load_graph(graph_path)
     inputs = None

@@ -37,8 +37,13 @@ def _freeze_params(p):
         return tuple(sorted((str(k), _freeze_params(v)) for k, v in p.items()))
     if isinstance(p, (list, tuple)):
         return tuple(_freeze_params(v) for v in p)
-    if isinstance(p, np.ndarray):
-        return (p.shape, p.dtype.str, p.tobytes())
+    if isinstance(p, np.ndarray) or (hasattr(p, "shape") and hasattr(p, "dtype")
+                                     and not np.isscalar(p)):
+        # np.ndarray AND jax.Array alike: a non-scalar jnp param left as-is
+        # would make the tuple-key comparison raise "truth value is
+        # ambiguous" instead of retracing
+        a = np.asarray(p)
+        return (a.shape, a.dtype.str, a.tobytes())
     return p
 
 
