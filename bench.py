@@ -22,6 +22,7 @@ per-sample semantics, reported in dBFS.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -30,6 +31,54 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
 import numpy as np
+
+
+# --- backend-outage watchdog (round-3 postmortem) -------------------------
+# The axon tunnel has hours-long outages during which jax.devices() HANGS
+# (it does not raise), so the r3 bench died at startup with rc=1 and no
+# JSON.  Probe the backend in a SUBPROCESS with a bounded timeout and retry
+# with backoff before touching jax in this process; on exhaustion, still
+# print exactly one JSON line (value null + error) so the driver records a
+# parseable artifact either way.
+PROBE_TIMEOUT_S = float(os.environ.get("DST_BENCH_PROBE_TIMEOUT", "150"))
+BACKEND_WAIT_S = float(os.environ.get("DST_BENCH_BACKEND_WAIT", "1800"))
+
+
+def _await_backend(max_wait: float = BACKEND_WAIT_S) -> str | None:
+    """Block until a jax backend answers a subprocess probe, retrying for
+    up to ``max_wait`` seconds.  Returns None on success, else a string
+    describing the last failure."""
+    deadline = time.time() + max_wait
+    attempt = 0
+    last = "no probe ran"
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0])"],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: backend up after {attempt} probes",
+                          file=sys.stderr)
+                return None
+            tail = (r.stderr or "").strip().splitlines()
+            last = tail[-1] if tail else f"probe rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = (f"probe hung >{PROBE_TIMEOUT_S:.0f}s "
+                    "(axon outage signature)")
+        remaining = deadline - time.time()
+        print(f"bench: backend probe {attempt} failed ({last}); "
+              f"{remaining:.0f}s of watchdog budget left", file=sys.stderr)
+        if remaining <= 0:
+            return last
+        # backoff, but never sleep past the deadline; fast-failing probes
+        # (rc != 0) still pace themselves
+        elapsed = time.time() - t0
+        time.sleep(max(0.0, min(30.0 + 10.0 * attempt - elapsed, 120.0,
+                                remaining)))
 
 
 SECONDS = 60.0          # audio length per timed render
@@ -89,6 +138,21 @@ def oracle_chain(x):
 
 
 def main():
+    err = _await_backend()
+    if err is not None:
+        # exactly one JSON line even on a persistent outage: a parseable
+        # record of the failure beats an rc=1 with nothing on stdout
+        print(json.dumps({
+            "metric": "rtf_10node_stereo_chain_48k",
+            "value": None,
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": None,
+            "error": f"backend unavailable after watchdog: {err}",
+            "target_rtf": 1000.0,
+            "target_accuracy_dbfs": -90.0,
+        }))
+        return
+
     import jax
     import dsp_stuff_tpu as dst
     from dsp_stuff_tpu.utils import precision
@@ -101,8 +165,8 @@ def main():
     x = (rng.standard_normal((2, 1, T)) * 0.25).astype(np.float32)  # stereo
 
     # --- throughput (fast policy) ---
-    best = _time_chained_renders(g, {str(inp_id): x[:, 0, :]},
-                                 batch=2, n_chain=N_CHAIN)
+    best, hl_bytes = _time_chained_renders(g, {str(inp_id): x[:, 0, :]},
+                                           batch=2, n_chain=N_CHAIN)
     rtf = SECONDS * N_CHAIN / best
 
     # --- batched throughput: 16-node feedback graph, 64 stereo streams ---
@@ -111,8 +175,10 @@ def main():
     # not kill the headline metric.
     rtf_batched = None
     acc_dbfs = None
+    gbps = {"headline": _gbps(hl_bytes, best)}
     try:
-        rtf_batched = _batched_metric(jax, dst, precision, rng)
+        rtf_batched, gbps["config5"] = _batched_metric(jax, dst, precision,
+                                                       rng)
     except Exception as e:
         print(f"bench: batched metric failed: {e!r}", file=sys.stderr)
 
@@ -124,14 +190,15 @@ def main():
     cfg_rtf = {}
     for name in ("config2", "config3", "config4"):
         try:
-            cfg_rtf[name] = round(_config_metric(name, rng), 1)
+            r, gbps[name] = _config_metric(name, rng)
+            cfg_rtf[name] = round(r, 1)
         except Exception as e:
             print(f"bench: {name} metric failed: {e!r}", file=sys.stderr)
             cfg_rtf[name] = None
 
     rtf_maxbatch = None
     try:
-        rtf_maxbatch = _max_throughput_metric(rng)
+        rtf_maxbatch, gbps["batch512"] = _max_throughput_metric(rng)
     except Exception as e:
         print(f"bench: max-throughput metric failed: {e!r}", file=sys.stderr)
 
@@ -172,6 +239,18 @@ def main():
         "pct_hbm_roofline_config4": _pct_roofline(cfg_rtf.get("config4"),
                                                   1, 2),
         "hbm_gbps_assumed": HBM_GBPS,
+        # MEASURED achieved HBM bandwidth per section: XLA's own
+        # bytes-accessed cost model for the compiled program (operand
+        # reads + output writes per fused op) divided by the measured
+        # wall time -- the trace-derived counterpart of the pure-I/O
+        # roofline estimates above (None when the backend's
+        # cost_analysis is unavailable)
+        "achieved_gbps_headline": gbps.get("headline"),
+        "achieved_gbps_batch512": gbps.get("batch512"),
+        "achieved_gbps_config5": gbps.get("config5"),
+        "achieved_gbps_config2": gbps.get("config2"),
+        "achieved_gbps_config3": gbps.get("config3"),
+        "achieved_gbps_config4": gbps.get("config4"),
         "rtf_streaming_block128": stream_rtf.get("block128"),
         "rtf_streaming_block2048": stream_rtf.get("block2048"),
         "rtf_streaming_pipelined_1s": stream_rtf.get("pipelined_1s"),
@@ -233,9 +312,32 @@ def _streaming_metric():
     return res
 
 
-def _time_chained_renders(g, ext_np, batch: int, n_chain: int) -> float:
-    """Best-of-N_TIMED wall seconds for n_chain renders of ``g`` over a
-    [batch, T] input, under the fast policy.
+def _gbps(bytes_accessed, wall_s):
+    """Achieved HBM GB/s (None-safe)."""
+    if bytes_accessed is None or not wall_s:
+        return None
+    return round(bytes_accessed / wall_s / 1e9, 1)
+
+
+def _bytes_accessed(compiled):
+    """XLA's modeled HBM traffic for a compiled program: operand reads +
+    output writes per fused op, from the compiler's own cost analysis.
+    None when the backend doesn't expose it (e.g. some remote-PJRT
+    paths)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):          # older jax returned [dict]
+            ca = ca[0] if ca else {}
+        v = ca.get("bytes accessed")
+        return float(v) if v is not None else None
+    except Exception as e:
+        print(f"bench: cost_analysis unavailable: {e!r}", file=sys.stderr)
+        return None
+
+
+def _time_chained_renders(g, ext_np, batch: int, n_chain: int):
+    """(best wall seconds, XLA bytes-accessed) for n_chain renders of
+    ``g`` over a [batch, T] input, under the fast policy; best of N_TIMED.
 
     Timing protocol: the renders chain through the carried state inside
     ONE jitted lax.scan (one XLA program, one dispatch — per-call dispatch
@@ -263,13 +365,14 @@ def _time_chained_renders(g, ext_np, batch: int, n_chain: int) -> float:
             st, sums = jax.lax.scan(body, state, None, length=n_chain)
             return jnp.sum(sums)
 
-        float(run(state, ext))                            # compile + warm
+        nbytes = _bytes_accessed(run.lower(state, ext).compile())
+        float(run(state, ext))                            # warm (cached)
         best = float("inf")
         for _ in range(N_TIMED):
             t0 = time.perf_counter()
             float(run(state, ext))                        # fetch = barrier
             best = min(best, time.perf_counter() - t0)
-    return best
+    return best, nbytes
 
 
 def _batched_metric(jax, dst, precision, rng):
@@ -277,13 +380,14 @@ def _batched_metric(jax, dst, precision, rng):
     S, Tb = 128, SR * 10
     g5, meta5 = config5_feedback_16node()
     xb = (rng.standard_normal((S, Tb)) * 0.2).astype(np.float32)
-    best5 = _time_chained_renders(g5, {str(meta5["input"]): xb},
-                                  batch=S, n_chain=5)
-    return (S * (Tb / SR) * 5) / best5
+    best5, by = _time_chained_renders(g5, {str(meta5["input"]): xb},
+                                      batch=S, n_chain=5)
+    return (S * (Tb / SR) * 5) / best5, _gbps(by, best5)
 
 
-def _config_metric(name: str, rng) -> float:
-    """Fast-policy RTF for one of the remaining BASELINE configs (mono,
+def _config_metric(name: str, rng):
+    """(fast-policy RTF, achieved GB/s) for one of the remaining BASELINE
+    configs (mono,
     10 s, chained).  Uses the same N_CHAIN amortization as the headline:
     at n_chain=20 the bouncing ~27-31 ms dispatch+fetch floor was half
     the measured wall for these mono configs (PARITY.md round-3 notes),
@@ -295,12 +399,12 @@ def _config_metric(name: str, rng) -> float:
         g, meta = PRESETS[name]()
     T = SR * 10
     x = (rng.standard_normal((1, T)) * 0.25).astype(np.float32)
-    best = _time_chained_renders(g, {str(meta["input"]): x}, batch=1,
-                                 n_chain=N_CHAIN)
-    return (T / SR) * N_CHAIN / best
+    best, by = _time_chained_renders(g, {str(meta["input"]): x}, batch=1,
+                                     n_chain=N_CHAIN)
+    return (T / SR) * N_CHAIN / best, _gbps(by, best)
 
 
-def _max_throughput_metric(rng) -> float:
+def _max_throughput_metric(rng):
     """Aggregate throughput at scale: the 10-node chain over 512 mono
     streams, 10 s each.  Every per-stream config is dispatch-bound (the
     roofline extras measure 0.3-3% of the HBM I/O floor); this section
@@ -312,8 +416,8 @@ def _max_throughput_metric(rng) -> float:
     g, inp_id = build_chain()
     T = SR * 10
     x = (rng.standard_normal((B, T)) * 0.25).astype(np.float32)
-    best = _time_chained_renders(g, {str(inp_id): x}, batch=B, n_chain=4)
-    return B * (T / SR) * 4 / best
+    best, by = _time_chained_renders(g, {str(inp_id): x}, batch=B, n_chain=4)
+    return B * (T / SR) * 4 / best, _gbps(by, best)
 
 
 def _accuracy_metric(jax, dst, precision, g, inp_id, x):

@@ -46,5 +46,39 @@ def test_max_throughput_metric_runs(monkeypatch):
     monkeypatch.setenv("DST_BENCH_MAXBATCH", "2")
     monkeypatch.setattr(bench, "SR", 4800)   # 10x shorter render
     monkeypatch.setattr(bench, "N_TIMED", 1)
-    r = bench._max_throughput_metric(np.random.default_rng(0))
+    r, gbps = bench._max_throughput_metric(np.random.default_rng(0))
     assert r > 0.0
+    assert gbps is None or gbps > 0.0
+
+
+def test_await_backend_success_and_exhaustion(monkeypatch):
+    """The outage watchdog: a healthy backend returns None immediately; a
+    hung/failed probe exhausts the budget and reports the last failure."""
+    import bench
+    assert bench._await_backend(max_wait=300) is None   # this env is up
+    monkeypatch.setattr(bench, "PROBE_TIMEOUT_S", 0.01)
+    err = bench._await_backend(max_wait=0.0)
+    assert err is not None and "probe" in err
+
+
+def test_gbps_and_bytes_helpers():
+    import bench
+    assert bench._gbps(None, 1.0) is None
+    assert bench._gbps(2e9, 0.0) is None
+    assert bench._gbps(2e9, 2.0) == 1.0
+
+    class FakeCompiled:
+        def cost_analysis(self):
+            return {"bytes accessed": 123.0}
+
+    class FakeCompiledList:
+        def cost_analysis(self):
+            return [{"bytes accessed": 7.0}]
+
+    class Broken:
+        def cost_analysis(self):
+            raise NotImplementedError
+
+    assert bench._bytes_accessed(FakeCompiled()) == 123.0
+    assert bench._bytes_accessed(FakeCompiledList()) == 7.0
+    assert bench._bytes_accessed(Broken()) is None
