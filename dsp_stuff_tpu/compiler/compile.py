@@ -334,11 +334,11 @@ _LINEAR_KINDS = {"gain": "gain", "low_pass": "lp", "high_pass": "hp",
 def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
     """Maximal runs of adjacent linear nodes fusable into one
     ops/cascade.linear_cascade solve.  Returns a list of runs, each a
-    list of node ids in signal order.
+    list of node ids in signal order — acyclic runs AND in-cycle runs
+    alike (the eval sites tell them apart by node membership).
 
     Structural preconditions (anything else falls back to per-node eval):
-      * every node is gain/low_pass/high_pass/biquad, outside every
-        feedback SCC;
+      * every node is gain/low_pass/high_pass/biquad;
       * consecutive nodes are joined by a sole link: the downstream
         node's "in" has exactly that one source, and it is the upstream
         node's ONLY outgoing link (no other consumer -- including
@@ -347,17 +347,28 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
       * no node receives links on any port besides "in" (no modulation
         into a fused section -- gain's level port included);
       * the composite state dimension is capped at
-        ops/cascade.MAX_RUN_DIM (= 4: up to two biquads, or a biquad
-        plus two one-poles); longer chains split greedily;
+        ops/cascade.MAX_RUN_DIM; longer chains split greedily;
       * a run keeps >= 2 nodes and >= 1 stateful section (pure-gain
         chains are XLA's elementwise fusion problem, not ours).
+
+    Runs INSIDE a feedback SCC additionally require the members to
+    occupy CONSECUTIVE positions of the cycle's execution order
+    (ascending node ids).  That makes fused evaluation semantically
+    identical to the per-node block body: every intra-run link is a
+    same-block forward edge (no hidden one-block delay), and since no
+    OTHER node evaluates between head and tail, every edge in or out of
+    the run resolves to the same cur-vs-prev choice fused or not (a
+    tail->head self-feedback still reads the previous block, exactly as
+    unfused).  Runs never span SCC boundaries.
     """
-    from dsp_stuff_tpu.ops.cascade import SECTION_DIMS
+    from dsp_stuff_tpu.ops.cascade import SECTION_DIMS, MAX_RUN_DIM
     cyclic = set()
+    cycle_comps = []
     for comp in sccs:
         if len(comp) > 1 or any(l.src == l.dst == comp[0]
                                 for l in graph.links):
             cyclic.update(comp)
+            cycle_comps.append(comp)
     out_links: dict[int, list] = {}
     modded = set()
     for l in graph.links:
@@ -365,32 +376,13 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
         if l.dst_port != "in":
             modded.add(l.dst)
 
-    def fusable(nid) -> bool:
-        node = nodes.get(nid)
-        return (node is not None and node.cfg_name in _LINEAR_KINDS
-                and nid not in cyclic and nid not in modded)
-
-    nxt: dict[int, int] = {}
-    for nid in nodes:
-        if not fusable(nid) or len(out_links.get(nid, [])) != 1:
-            continue
-        l = out_links[nid][0]
-        if (l.dst_port == "in" and l.dst != nid and fusable(l.dst)
-                and len(graph.in_links(l.dst, "in")) == 1):
-            nxt[nid] = l.dst
-
     def dim(nid) -> int:
         return SECTION_DIMS[_LINEAR_KINDS[nodes[nid].cfg_name]]
 
-    from dsp_stuff_tpu.ops.cascade import MAX_RUN_DIM
-    runs = []
-    targets = set(nxt.values())
-    for nid in nodes:
-        if not fusable(nid) or nid in targets:
-            continue
-        chain = [nid]
-        while chain[-1] in nxt:
-            chain.append(nxt[chain[-1]])
+    def segment(chain) -> list:
+        """Greedy split of a maximal chain into runs under MAX_RUN_DIM,
+        keeping only runs with >= 2 nodes and >= 1 stateful section."""
+        runs = []
         seg: list = []
         d = 0
         for n in chain + [None]:
@@ -401,6 +393,59 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
             if n is not None:
                 seg.append(n)
                 d += dim(n)
+        return runs
+
+    def chains_from(nxt: dict) -> list:
+        runs = []
+        targets = set(nxt.values())
+        for nid in sorted(set(nxt)):
+            if nid in targets:
+                continue
+            chain = [nid]
+            while chain[-1] in nxt:
+                chain.append(nxt[chain[-1]])
+            runs.extend(segment(chain))
+        return runs
+
+    def sole_joint(nid, extra_ok) -> int | None:
+        """The downstream node id when nid's output is a sole-consumer
+        joint into another linear node's "in" port, else None."""
+        if len(out_links.get(nid, [])) != 1:
+            return None
+        l = out_links[nid][0]
+        if (l.dst_port == "in" and l.dst != nid
+                and len(graph.in_links(l.dst, "in")) == 1
+                and extra_ok(l.dst)):
+            return l.dst
+        return None
+
+    def linear(nid) -> bool:
+        node = nodes.get(nid)
+        return (node is not None and node.cfg_name in _LINEAR_KINDS
+                and nid not in modded)
+
+    # acyclic runs
+    nxt: dict[int, int] = {}
+    for nid in nodes:
+        if not (linear(nid) and nid not in cyclic):
+            continue
+        dst = sole_joint(nid, lambda d: linear(d) and d not in cyclic)
+        if dst is not None:
+            nxt[nid] = dst
+    runs = chains_from(nxt)
+
+    # in-cycle runs, per SCC, contiguous in execution order
+    for comp in cycle_comps:
+        order = sorted(comp)
+        pos = {nid: i for i, nid in enumerate(order)}
+        cnxt: dict[int, int] = {}
+        for nid in comp:
+            if not linear(nid):
+                continue
+            dst = sole_joint(nid, lambda d: linear(d) and d in pos)
+            if dst is not None and pos[dst] == pos[nid] + 1:
+                cnxt[nid] = dst
+        runs.extend(chains_from(cnxt))
     return runs
 
 
@@ -562,6 +607,22 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 interior.update(run[:-1])
         return tails, interior
 
+    def _fused_run_eval(run, secs, x1, st):
+        """Evaluate a fused linear run over its head input ``x1`` (any
+        T >= 2), updating the per-node states in ``st`` (keys str(nid));
+        returns the tail output."""
+        from dsp_stuff_tpu.ops import cascade
+        stateful = [n for n in run
+                    if cascade.SECTION_DIMS[
+                        _LINEAR_KINDS[nodes[n].cfg_name]] > 0]
+        s_in = cascade.cascade_state_in(secs, [st[str(n)] for n in stateful])
+        y, s_tm1, s_tm2 = cascade.linear_cascade(x1, secs, s_in)
+        st_outs = cascade.cascade_state_out(secs, s_tm1, s_tm2,
+                                            x1[..., -1], x1[..., -2])
+        for n, st_new in zip(stateful, st_outs):
+            st[str(n)] = st_new
+        return y
+
     def _eval(state, ext, T: int, pdict=None):
         state = dict(state)
         values: dict[tuple[int, str], Any] = {}
@@ -582,21 +643,10 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 if nid in fused_interior:
                     continue                  # evaluated at the run tail
                 if nid in fused_tails:
-                    from dsp_stuff_tpu.ops import cascade
                     run, secs = fused_tails[nid]
                     x1, _ = _avg(port_sources(run[0], "in", seq_lookup), T)
-                    stateful = [n for n in run
-                                if cascade.SECTION_DIMS[
-                                    _LINEAR_KINDS[nodes[n].cfg_name]] > 0]
-                    s_in = cascade.cascade_state_in(
-                        secs, [state[str(n)] for n in stateful])
-                    y, s_tm1, s_tm2 = cascade.linear_cascade(
-                        x1, secs, s_in)
-                    st_outs = cascade.cascade_state_out(
-                        secs, s_tm1, s_tm2, x1[..., -1], x1[..., -2])
-                    for n, st_new in zip(stateful, st_outs):
-                        state[str(n)] = st_new
-                    values[(nid, "out")] = y
+                    values[(nid, "out")] = _fused_run_eval(run, secs, x1,
+                                                           state)
                     continue
                 node = nodes[nid]
                 impl = node.spec.impl
@@ -617,7 +667,8 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 for port in node.spec.outputs:
                     values[(nid, port)] = outs[port]
             else:
-                _eval_cycle(comp, state, values, ext, T, pdict)
+                _eval_cycle(comp, state, values, ext, T, pdict,
+                            fused_tails, fused_interior)
 
         # graph outputs: fan-in average into each Output node (output.rs:215-250)
         outs = {}
@@ -660,13 +711,25 @@ def compile_graph(graph: Graph, block_size: int = 128,
 
         return state, outs, aux
 
-    def _eval_cycle(comp, state, values, ext, T: int, pdict=None):
+    def _eval_cycle(comp, state, values, ext, T: int, pdict=None,
+                    fused_tails=None, fused_interior=None):
         """Compile one feedback SCC to a lax.scan over blocks.
 
         Member nodes execute in ascending-id order within a block; an
         intra-cycle edge from a not-yet-run member carries the previous
         block's value (one BLOCK of delay), which is the defined semantic
-        for the reference's emergent feedback latency."""
+        for the reference's emergent feedback latency.
+
+        Linear runs CONTIGUOUS in that order (see _plan_linear_fusion)
+        evaluate as one ops/cascade solve per block at the tail's
+        position — the config5 lesson: the cycle scan's per-iteration
+        cost is dominated by op count, and an unfused k-node run pays k
+        solver rounds per 128 block.  Interior nodes are skipped; their
+        carried prev entries pass through untouched (they are dead by
+        the sole-consumer rule — no back edge can read them — but the
+        carry structure must stay policy-independent)."""
+        fused_tails = fused_tails or {}
+        fused_interior = fused_interior or set()
         B = block_size
         assert T % B == 0
         nb = T // B
@@ -728,6 +791,14 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 return ext_blk[(src, src_port)]
 
             for nid in order:
+                if nid in fused_interior:
+                    continue                  # evaluated at the run tail
+                if nid in fused_tails:
+                    run, secs = fused_tails[nid]
+                    x1, _ = _avg([blk_lookup(l.src, l.src_port)
+                                  for l in graph.in_links(run[0], "in")], B)
+                    cur[(nid, "out")] = _fused_run_eval(run, secs, x1, st)
+                    continue
                 node = nodes[nid]
                 impl = node.spec.impl
                 in_sigs = {}
@@ -747,6 +818,14 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 st[str(nid)] = new_st
                 for port in node.spec.outputs:
                     cur[(nid, port)] = outs[port]
+
+            # skipped interiors: dead carry entries (never read -- the
+            # sole-consumer rule forbids back edges into them) pass
+            # through so the carry pytree structure stays identical to
+            # the unfused trace
+            for kp in member_ports:
+                if kp[0] in fused_interior and kp not in cur:
+                    cur[kp] = prev[kp]
 
             return (st, cur), {kp: cur[kp] for kp in emit_ports}
 

@@ -391,6 +391,212 @@ def test_random_linear_chain_segmented_state_carry(seed):
     assert db <= bound, f"seed {seed}: {db:.1f} dBFS"
 
 
+def _plan_for(g):
+    """The compiler's fusion plan for a graph (active nodes + SCCs
+    computed exactly as compile_graph does)."""
+    from dsp_stuff_tpu.compiler.compile import (_plan_linear_fusion,
+                                                _active_nodes)
+    from dsp_stuff_tpu.compiler.scc import condensation_topo_order
+    active = _active_nodes(g)
+    nodes = {nid: n for nid, n in g.nodes.items() if nid in active}
+    edges = {nid: set() for nid in nodes}
+    for l in g.links:
+        if l.src in nodes and l.dst in nodes:
+            edges[l.src].add(l.dst)
+    sccs = condensation_topo_order(sorted(nodes), edges)
+    return _plan_linear_fusion(g, nodes, sccs), sccs
+
+
+def _random_feedback_linear_graph(seed, exact=False):
+    """Feedback graphs whose cycle bodies contain fusable linear runs —
+    the config5 shape, randomized: input -> add -> [linear run] -> ...
+    with a gain-scaled back edge re-entering the add.  Sometimes the
+    back edge taps a run INTERIOR instead of the tail (the planner must
+    split the run there), and sometimes a nonlinear node sits inside
+    the loop (a run boundary)."""
+    rng = np.random.default_rng(seed)
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    mixa = g.add("add")
+    g.connect(inp, "out", mixa, "a")
+    prev = mixa
+    chain = []
+    for _ in range(int(rng.integers(2, 5))):
+        r = rng.random()
+        if r < 0.3:
+            n = g.add("gain", level=float(rng.uniform(0.2, 0.9)))
+        elif r < 0.6:
+            n = g.add("low_pass", ratio=float(rng.uniform(0.1, 0.9)))
+        elif r < 0.8:
+            n = g.add("high_pass", ratio=float(rng.uniform(0.05, 0.6)))
+        else:
+            p1, p2 = rng.uniform(-0.5, 0.5, 2)          # stable real poles
+            n = g.add("biquad", a0=1.0, a1=float(-(p1 + p2)),
+                      a2=float(p1 * p2),
+                      b0=float(rng.uniform(0.3, 0.9)),
+                      b1=float(rng.uniform(-0.3, 0.3)), b2=0.0)
+        g.connect(prev, "out", n, "in")
+        chain.append(n)
+        prev = n
+    if not exact and rng.random() < 0.4:        # nonlinear loop member
+        n = g.add("distort", mode="SoftClip",
+                  level=float(rng.uniform(0.5, 2.0)))
+        g.connect(prev, "out", n, "in")
+        prev = n
+    fb = g.add("gain", level=float(rng.uniform(0.2, 0.5)))
+    # back edge source: tail usually, an interior sometimes (splits runs)
+    src = prev if rng.random() < 0.7 else \
+        chain[int(rng.integers(0, len(chain)))]
+    g.connect(src, "out", fb, "in")
+    g.connect(fb, "out", mixa, "b")              # closes the SCC
+    out = g.add("output")
+    g.connect(prev, "out", out, "in")
+    return g, inp.id, out.id
+
+
+@pytest.mark.parametrize("seed", list(range(12)))
+def test_random_feedback_linear_fast_vs_oracle(seed):
+    """Fast-policy fuzz over IN-CYCLE linear-run fusion: cycle bodies
+    with fusable runs (config5's shape randomized) must match the
+    per-node oracle interpreter — run head fan-in inside the loop,
+    interior-tap splits, tail back-edges, per-block composite state
+    rebuild, all at once.  Non-vacuity: at least one seed's plan must
+    contain an in-cycle run (asserted per-seed where the generator
+    guarantees it)."""
+    g, inp_id, out_id = _random_feedback_linear_graph(seed)
+    plan, sccs = _plan_for(g)
+    cyc = set()
+    for comp in sccs:
+        if len(comp) > 1:
+            cyc.update(comp)
+    in_cycle_runs = [r for r in plan if r[0] in cyc]
+    rng = np.random.default_rng(11_000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    with precision.policy("fast"):
+        outs, _, _ = dst.render(g, {str(inp_id): x})
+    want = oracle_graph.evaluate(g, {inp_id: x}, T)[out_id]
+    got = np.asarray(outs)[0]
+    assert np.isfinite(want).all(), "oracle blew up — bad generator params"
+    db = oracle.max_err_dbfs(got, want)
+    assert db <= -80.0, f"seed {seed}: {db:.1f} dBFS ({in_cycle_runs=})"
+
+
+def test_feedback_linear_fusion_fuzz_not_vacuous():
+    """The generator must actually produce in-cycle runs for the fuzz
+    above to exercise (a planner regression that silently stops fusing
+    cycles would otherwise pass every seed)."""
+    hits = 0
+    for seed in range(12):
+        g, _, _ = _random_feedback_linear_graph(seed)
+        plan, sccs = _plan_for(g)
+        cyc = set()
+        for comp in sccs:
+            if len(comp) > 1:
+                cyc.update(comp)
+        hits += any(r[0] in cyc for r in plan)
+    assert hits >= 6, f"only {hits}/12 seeds formed an in-cycle run"
+
+
+@pytest.mark.parametrize("seed", [0, 3, 7, 10])
+@bitwise_cpu_only
+def test_random_feedback_linear_exact_bitwise(seed):
+    """The same cycle shapes under the exact policy (fusion disabled by
+    policy) stay BITWISE against the oracle — fusing under fast must not
+    have perturbed the cycle semantics the exact path shares."""
+    g, inp_id, out_id = _random_feedback_linear_graph(seed, exact=True)
+    rng = np.random.default_rng(12_000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    with precision.policy("exact"):
+        outs, _, _ = dst.render(g, {str(inp_id): x})
+    want = oracle_graph.evaluate(g, {inp_id: x}, T)[out_id]
+    np.testing.assert_array_equal(np.asarray(outs)[0], want,
+                                  err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", [1, 4, 8])
+def test_random_feedback_linear_segmented_state_carry(seed):
+    """Two chained half-renders through fused in-cycle runs equal the
+    one-shot render: composite state rebuild + cycle-context carry at
+    every block boundary AND the segment boundary."""
+    g, inp_id, out_id = _random_feedback_linear_graph(seed)
+    rng = np.random.default_rng(13_000 + seed)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    half = T // 2
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        full, _, _ = cg.render({str(inp_id): x})
+        a, _, st = cg.render({str(inp_id): x[:half]})
+        b, _, _ = cg.render({str(inp_id): x[half:]}, state=st)
+    got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
+    db = oracle.max_err_dbfs(got, np.asarray(full)[0])
+    assert db <= -100.0, f"seed {seed}: {db:.1f} dBFS"
+
+
+def test_in_cycle_fusion_contiguity_rules():
+    """The planner's in-cycle preconditions: a linear pair whose ids are
+    NOT consecutive in the cycle's execution order must not fuse (a
+    non-member evaluates between them), and a signal-order-descending
+    pair (its joint is a back edge carrying one block of delay) must
+    not fuse either."""
+    # descending ids: fbg created before lp, link lp -> fbg
+    g = dst.Graph(IdSpace())
+    inp = g.add("input")
+    mixa = g.add("add")
+    fbg = g.add("gain", level=0.4)       # id 2
+    lp = g.add("low_pass", ratio=0.5)    # id 3
+    out = g.add("output")
+    g.connect(inp, "out", mixa, "a")
+    g.connect(mixa, "out", lp, "in")
+    g.connect(lp, "out", fbg, "in")      # pos[fbg] < pos[lp]: back edge
+    g.connect(fbg, "out", mixa, "b")
+    g.connect(lp, "out", out, "in")
+    plan, _ = _plan_for(g)
+    assert plan == [], plan
+
+    # interleaved: a non-linear member's id falls between lp and fbg
+    g2 = dst.Graph(IdSpace())
+    inp2 = g2.add("input")
+    mixa2 = g2.add("add")
+    lp2 = g2.add("low_pass", ratio=0.5)            # id 2
+    dist2 = g2.add("distort", mode="SoftClip", level=1.5)   # id 3
+    fbg2 = g2.add("gain", level=0.4)               # id 4
+    out2 = g2.add("output")
+    g2.connect(inp2, "out", mixa2, "a")
+    g2.connect(mixa2, "out", lp2, "in")
+    g2.connect(lp2, "out", fbg2, "in")             # pos gap: dist2 between
+    g2.connect(fbg2, "out", dist2, "in")
+    g2.connect(dist2, "out", mixa2, "b")
+    g2.connect(fbg2, "out", out2, "in")
+    plan2, _ = _plan_for(g2)
+    assert plan2 == [], plan2
+
+    # both graphs still render correctly per-node
+    rng = np.random.default_rng(42)
+    x = (rng.standard_normal(T) * 0.25).astype(np.float32)
+    for gg, iid, oid in ((g, inp.id, out.id), (g2, inp2.id, out2.id)):
+        with precision.policy("fast"):
+            outs, _, _ = dst.render(gg, {str(iid): x})
+        want = oracle_graph.evaluate(gg, {iid: x}, T)[oid]
+        db = oracle.max_err_dbfs(np.asarray(outs)[0], want)
+        assert db <= -80.0, db
+
+
+def test_config5_in_cycle_pair_fuses():
+    """config5's lp -> fbg pair inside the feedback SCC must plan as an
+    in-cycle run (the r4 perf lever), and the fused render must match
+    the oracle."""
+    from dsp_stuff_tpu.models import config5_feedback_16node
+    g, meta = config5_feedback_16node()
+    plan, sccs = _plan_for(g)
+    cyc = set()
+    for comp in sccs:
+        if len(comp) > 1:
+            cyc.update(comp)
+    in_cycle = [r for r in plan if r[0] in cyc]
+    assert in_cycle, f"lp->fbg did not plan: {plan}"
+    assert any(len(r) == 2 for r in in_cycle), in_cycle
+
+
 @pytest.mark.parametrize("seed", [2, 7])
 def test_random_linear_chain_streaming_matches_offline(seed):
     """Fused runs inside the StreamSession scan body (process_many) and
