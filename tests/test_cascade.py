@@ -130,10 +130,25 @@ def test_fusion_blocked_by_extra_consumer():
     assert _plan_of(g) == []
 
 
-def test_fusion_blocked_inside_cycles():
+def test_fusion_inside_cycles_plans_run(monkeypatch):
+    """A linear pair wrapped in a feedback edge fuses as an IN-CYCLE run
+    (since r4 the planner handles contiguous-in-execution-order runs
+    inside SCC bodies); the fused render must match the unfused one to
+    fast-policy tolerance (the tail->head back edge reads the previous
+    block either way)."""
     g, inp, n1, n2, out = _pair_graph()
     g.connect(n2, "out", n1, "in")           # feedback around the pair
-    assert _plan_of(g) == []
+    assert _plan_of(g) == [[n1.id, n2.id]]
+
+    x = _sig(T, seed=11)
+    with precision.policy("fast"):
+        fused, _, _ = dst.compile_graph(g).render({str(inp.id): x})
+        monkeypatch.setattr(compile_mod, "_plan_linear_fusion",
+                            lambda *a, **k: [])
+        unfused, _, _ = dst.compile_graph(g).render({str(inp.id): x})
+    err = np.max(np.abs(np.asarray(fused, np.float64)
+                        - np.asarray(unfused, np.float64)))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
 
 
 def test_fusion_plan_on_three_chain():
