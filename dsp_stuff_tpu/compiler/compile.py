@@ -339,17 +339,26 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
 
     Structural preconditions (anything else falls back to per-node eval):
       * every node is gain/low_pass/high_pass/biquad;
-      * consecutive nodes are joined by a sole link: the downstream
+      * consecutive nodes are joined by a chain link: the downstream
         node's "in" has exactly that one source, and it is the upstream
-        node's ONLY outgoing link (no other consumer -- including
-        analysis sinks and modulation ports -- needs the intermediate
-        signal);
-      * no node receives links on any port besides "in" (no modulation
-        into a fused section -- gain's level port included);
+        node's only outgoing link INTO A LINEAR NODE.  Other consumers
+        of an intermediate's output (analysis sinks, second outputs,
+        modulation ports of nodes outside the run) no longer break the
+        run: the fused solve EMITS the intermediate signal with one
+        extra taps-GEMM row set (ops/cascade.linear_cascade ``emits``) —
+        the run's eval site publishes it like a normal node output;
+      * no run member receives links on any port besides "in" (no
+        modulation into a fused section -- gain's level port included);
       * the composite state dimension is capped at
         ops/cascade.MAX_RUN_DIM; longer chains split greedily;
       * a run keeps >= 2 nodes and >= 1 stateful section (pure-gain
         chains are XLA's elementwise fusion problem, not ours).
+
+    Because intermediates may now have consumers scheduled BEFORE the
+    run's tail in the SCC topo order, fused runs evaluate at their HEAD
+    node's position (the head's inputs are the run's only external
+    inputs, so everything is ready there and every emitted signal exists
+    before any consumer runs).
 
     Runs INSIDE a feedback SCC additionally require the members to
     occupy CONSECUTIVE positions of the cycle's execution order
@@ -359,7 +368,10 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
     OTHER node evaluates between head and tail, every edge in or out of
     the run resolves to the same cur-vs-prev choice fused or not (a
     tail->head self-feedback still reads the previous block, exactly as
-    unfused).  Runs never span SCC boundaries.
+    unfused; an in-cycle tap consumer sits before the head -> reads the
+    carried previous block, or after the tail -> reads the emitted
+    current block, both exactly as unfused).  Runs never span SCC
+    boundaries.
     """
     from dsp_stuff_tpu.ops.cascade import SECTION_DIMS, MAX_RUN_DIM
     cyclic = set()
@@ -408,15 +420,19 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
         return runs
 
     def sole_joint(nid, extra_ok) -> int | None:
-        """The downstream node id when nid's output is a sole-consumer
-        joint into another linear node's "in" port, else None."""
-        if len(out_links.get(nid, [])) != 1:
-            return None
-        l = out_links[nid][0]
-        if (l.dst_port == "in" and l.dst != nid
-                and len(graph.in_links(l.dst, "in")) == 1
-                and extra_ok(l.dst)):
-            return l.dst
+        """The downstream node id when nid's output has exactly one
+        chain-joint candidate: a link into a linear node's "in" port
+        that is that port's sole source.  Other outgoing links are
+        allowed (they become emitted taps); two distinct joint
+        candidates would make the chain ambiguous, so none is taken."""
+        joints = []
+        for l in out_links.get(nid, []):
+            if (l.dst_port == "in" and l.dst != nid
+                    and len(graph.in_links(l.dst, "in")) == 1
+                    and extra_ok(l.dst)):
+                joints.append(l.dst)
+        if len(joints) == 1:
+            return joints[0]
         return None
 
     def linear(nid) -> bool:
@@ -478,11 +494,11 @@ def compile_graph(graph: Graph, block_size: int = 128,
     sccs = condensation_topo_order(sorted(nodes), edges)
 
     # structural plan for linear-run fusion (ops/cascade.py): maximal
-    # chains of adjacent gain/low_pass/high_pass/biquad nodes in the
-    # ACYCLIC part, joined by sole-consumer links, fuse into one blocked
-    # solve each -- the dynamic preconditions (fast policy, no NODE_HOOK,
-    # concrete params, no fit overrides) are re-checked per trace in
-    # _eval.
+    # chains of adjacent gain/low_pass/high_pass/biquad nodes, joined by
+    # chain links (tapped intermediates are emitted from the solve),
+    # fuse into one blocked solve each -- the dynamic preconditions
+    # (fast policy, no NODE_HOOK, concrete params, no fit overrides) are
+    # re-checked per trace in _eval.
     fusion_plan = _plan_linear_fusion(graph, nodes, sccs)
 
     def init_state():
@@ -553,12 +569,15 @@ def compile_graph(graph: Graph, block_size: int = 128,
         return params
 
     def _run_sections(run, pdict):
-        """Concrete (kind, param) section tuple for a fusable run, with
-        the link fan-in scales interleaved as gain sections -- or None
-        when this trace cannot fuse it (traced fit overrides or
-        non-concrete params)."""
+        """(sections, member_end) for a fusable run: the concrete
+        (kind, param) section tuple with the link fan-in scales
+        interleaved as gain sections, and member_end mapping each node
+        id to the index of ITS last section (the emit point for tapped
+        intermediates) -- or None when this trace cannot fuse it (traced
+        fit overrides or non-concrete params)."""
         h = 1.0 / float(_fanin_divisor(1))
         secs: list = []
+        member_end: dict[int, int] = {}
         for i, nid in enumerate(run):
             if str(nid) in (pdict or {}):
                 return None                  # traced overrides: no fold
@@ -587,46 +606,77 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 cf = tuple(float(np.float32(np.float32(v) / a0))
                            for v in raw[1:])
                 secs.append(("bq", cf))
-        return tuple(secs)
+            member_end[nid] = len(secs) - 1
+        return tuple(secs), member_end
+
+    def _run_taps(run) -> list[int]:
+        """Non-tail run members whose output has a consumer besides the
+        internal chain link (analysis taps, second outputs, modulation
+        of nodes outside the run): the fused solve must emit them."""
+        internal = set(zip(run[:-1], run[1:]))
+        tapped = []
+        for nid in run[:-1]:
+            # any link to the next member is the chain joint (members
+            # accept no non-"in" links, and a second source into "in"
+            # would have broken the chain); everything else is a tap
+            if any(l.src == nid and (nid, l.dst) not in internal
+                   for l in graph.links):
+                tapped.append(nid)
+        return tapped
 
     def _active_fusion(pdict) -> tuple[dict, set]:
-        """(tail node id -> (run, sections), interior node ids) for the
-        runs whose dynamic preconditions hold for THIS trace: fast
-        policy, no observability hook (debug_render needs every node's
-        own output), concrete params, no traced fit overrides."""
+        """(head node id -> (run, sections, emits, tapped), non-head
+        member ids) for the runs whose dynamic preconditions hold for
+        THIS trace: fast policy, no observability hook (debug_render
+        needs every node's own output), concrete params, no traced fit
+        overrides.  ``emits`` are section indices for
+        ops/cascade.linear_cascade; ``tapped`` the matching node ids."""
         from dsp_stuff_tpu.utils import precision
         if (not fusion_plan or NODE_HOOK is not None
                 or precision.get_policy().name != "fast"):
             return {}, set()
-        tails: dict[int, tuple] = {}
+        heads: dict[int, tuple] = {}
         interior: set = set()
         for run in fusion_plan:
-            secs = _run_sections(run, pdict)
-            if secs is not None:
-                tails[run[-1]] = (run, secs)
-                interior.update(run[:-1])
-        return tails, interior
+            got = _run_sections(run, pdict)
+            if got is None:
+                continue
+            secs, member_end = got
+            tapped = _run_taps(run)
+            emits = tuple(member_end[n] for n in tapped)
+            heads[run[0]] = (run, secs, emits, tapped)
+            interior.update(run[1:])
+        return heads, interior
 
-    def _fused_run_eval(run, secs, x1, st):
+    def _fused_run_eval(run, secs, emits, tapped, x1, st):
         """Evaluate a fused linear run over its head input ``x1`` (any
         T >= 2), updating the per-node states in ``st`` (keys str(nid));
-        returns the tail output."""
+        returns {(nid, "out"): signal} for the tail and every tapped
+        intermediate."""
         from dsp_stuff_tpu.ops import cascade
         stateful = [n for n in run
                     if cascade.SECTION_DIMS[
                         _LINEAR_KINDS[nodes[n].cfg_name]] > 0]
         s_in = cascade.cascade_state_in(secs, [st[str(n)] for n in stateful])
-        y, s_tm1, s_tm2 = cascade.linear_cascade(x1, secs, s_in)
+        res = cascade.linear_cascade(x1, secs, s_in, emits)
+        if emits:
+            y, s_tm1, s_tm2, emit_sigs = res
+        else:
+            y, s_tm1, s_tm2 = res
+            emit_sigs = ()
         st_outs = cascade.cascade_state_out(secs, s_tm1, s_tm2,
                                             x1[..., -1], x1[..., -2])
         for n, st_new in zip(stateful, st_outs):
             st[str(n)] = st_new
-        return y
+        out = {(run[-1], "out"): y}
+        for n, sig in zip(tapped, emit_sigs):
+            out[(n, "out")] = sig
+        return out
 
     def _eval(state, ext, T: int, pdict=None):
         state = dict(state)
         values: dict[tuple[int, str], Any] = {}
-        fused_tails, fused_interior = _active_fusion(pdict)
+        fused_heads, fused_interior = _active_fusion(pdict)
 
         def port_sources(nid, port, lookup):
             return [lookup(l.src, l.src_port)
@@ -641,12 +691,12 @@ def compile_graph(graph: Graph, block_size: int = 128,
             if not is_cycle:
                 nid = comp[0]
                 if nid in fused_interior:
-                    continue                  # evaluated at the run tail
-                if nid in fused_tails:
-                    run, secs = fused_tails[nid]
+                    continue                  # evaluated at the run head
+                if nid in fused_heads:
+                    run, secs, emits, tapped = fused_heads[nid]
                     x1, _ = _avg(port_sources(run[0], "in", seq_lookup), T)
-                    values[(nid, "out")] = _fused_run_eval(run, secs, x1,
-                                                           state)
+                    values.update(_fused_run_eval(run, secs, emits, tapped,
+                                                  x1, state))
                     continue
                 node = nodes[nid]
                 impl = node.spec.impl
@@ -668,7 +718,7 @@ def compile_graph(graph: Graph, block_size: int = 128,
                     values[(nid, port)] = outs[port]
             else:
                 _eval_cycle(comp, state, values, ext, T, pdict,
-                            fused_tails, fused_interior)
+                            fused_heads, fused_interior)
 
         # graph outputs: fan-in average into each Output node (output.rs:215-250)
         outs = {}
@@ -712,7 +762,7 @@ def compile_graph(graph: Graph, block_size: int = 128,
         return state, outs, aux
 
     def _eval_cycle(comp, state, values, ext, T: int, pdict=None,
-                    fused_tails=None, fused_interior=None):
+                    fused_heads=None, fused_interior=None):
         """Compile one feedback SCC to a lax.scan over blocks.
 
         Member nodes execute in ascending-id order within a block; an
@@ -721,14 +771,16 @@ def compile_graph(graph: Graph, block_size: int = 128,
         for the reference's emergent feedback latency.
 
         Linear runs CONTIGUOUS in that order (see _plan_linear_fusion)
-        evaluate as one ops/cascade solve per block at the tail's
+        evaluate as one ops/cascade solve per block at the head's
         position — the config5 lesson: the cycle scan's per-iteration
         cost is dominated by op count, and an unfused k-node run pays k
-        solver rounds per 128 block.  Interior nodes are skipped; their
-        carried prev entries pass through untouched (they are dead by
-        the sole-consumer rule — no back edge can read them — but the
-        carry structure must stay policy-independent)."""
-        fused_tails = fused_tails or {}
+        solver rounds per 128 block.  Non-head members are skipped;
+        tapped intermediates publish their emitted block into ``cur``
+        (so later members and the carry see the current block, exactly
+        as unfused), while untapped interiors' carried prev entries pass
+        through untouched (dead — no edge can read them — but the carry
+        structure must stay policy-independent)."""
+        fused_heads = fused_heads or {}
         fused_interior = fused_interior or set()
         B = block_size
         assert T % B == 0
@@ -792,12 +844,13 @@ def compile_graph(graph: Graph, block_size: int = 128,
 
             for nid in order:
                 if nid in fused_interior:
-                    continue                  # evaluated at the run tail
-                if nid in fused_tails:
-                    run, secs = fused_tails[nid]
+                    continue                  # evaluated at the run head
+                if nid in fused_heads:
+                    run, secs, emits, tapped = fused_heads[nid]
                     x1, _ = _avg([blk_lookup(l.src, l.src_port)
                                   for l in graph.in_links(run[0], "in")], B)
-                    cur[(nid, "out")] = _fused_run_eval(run, secs, x1, st)
+                    cur.update(_fused_run_eval(run, secs, emits, tapped,
+                                               x1, st))
                     continue
                 node = nodes[nid]
                 impl = node.spec.impl
@@ -819,12 +872,14 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 for port in node.spec.outputs:
                     cur[(nid, port)] = outs[port]
 
-            # skipped interiors: dead carry entries (never read -- the
-            # sole-consumer rule forbids back edges into them) pass
-            # through so the carry pytree structure stays identical to
-            # the unfused trace
+            # skipped UNTAPPED members (the head included -- its own
+            # output only materializes when tapped): dead carry entries
+            # (no edge can read them -- a reader would have made them
+            # tapped) pass through so the carry pytree structure stays
+            # identical to the unfused trace
             for kp in member_ports:
-                if kp[0] in fused_interior and kp not in cur:
+                if kp not in cur and (kp[0] in fused_interior
+                                      or kp[0] in fused_heads):
                     cur[kp] = prev[kp]
 
             return (st, cur), {kp: cur[kp] for kp in emit_ports}

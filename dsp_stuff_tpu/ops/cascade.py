@@ -59,7 +59,7 @@ from dsp_stuff_tpu.ops.scan import _BLOCK_C, _vecn_recurrence
 SECTION_DIMS = {"gain": 0, "lp": 1, "hp": 1, "bq": 2}
 
 #: composite state-dimension cap for fused runs (the vecN carry chain;
-#: dim 3 embeds into 4)
+#: odd dims embed into the next power of two)
 MAX_RUN_DIM = 4
 
 
@@ -114,10 +114,12 @@ def composite_dim(sections) -> int:
 
 def _embed_dim(n: int) -> int:
     """Carry-machinery dimension: 2 (ops/scan._vec2_recurrence fast
-    path) or 4 (_vecn_recurrence)."""
+    path), 4, or 8 (_vecn_recurrence is generic in n)."""
     if n > MAX_RUN_DIM:
         raise ValueError(f"composite state dim {n} > {MAX_RUN_DIM}")
-    return 2 if n <= 2 else 4
+    if n <= 2:
+        return 2
+    return 4 if n <= 4 else 8
 
 
 def _embedN(A, B, C, N: int):
@@ -134,11 +136,37 @@ def _embedN(A, B, C, N: int):
     return A2, B2, C2
 
 
+def _output_taps(Cv, D, P, B, C: int):
+    """(Ltg [C, C], E [C, N], l1) output constants for a readout (C, D)
+    over the shared state powers P: Ltg from g[0] = D, g[d] = C A^(d-1) B;
+    E[d] = C A^d maps the chunk-entry carry to sample d's output; l1 is
+    the tap-row bound for the bf16x3 GEMM eligibility
+    (utils.precision.gemm_precision)."""
+    g = np.empty(C, np.float64)
+    g[0] = D
+    g[1:] = np.einsum("i,dij,j->d", Cv, P[: C - 1], B)
+    i = np.arange(C)
+    diff = i[None, :] - i[:, None]
+    Ltg = np.where(diff >= 0, g[np.clip(diff, 0, C - 1)], 0.0)  # [C, C]
+    E = np.einsum("i,dij->dj", Cv, P[:C])              # carry->y    [C, N]
+    return Ltg, E, float(np.abs(g).sum())
+
+
 @functools.lru_cache(maxsize=128)
-def _cascade_constants(sections: tuple, C: int):
+def _cascade_constants(sections: tuple, C: int, emits: tuple = ()):
     """Trace-time NumPy constants for a fused run (f64 chain, cast once
     to f32 -- same constant-precision contract as the biquad's folded
-    impulse response, ops/scan.py _biquad_blocked)."""
+    impulse response, ops/scan.py _biquad_blocked).
+
+    ``emits`` lists extra readout points: section indices i such that the
+    signal AFTER section i (the output of the prefix system
+    sections[:i+1]) must also be produced -- the compiler uses this to
+    fuse THROUGH an intermediate node that has other consumers (a
+    wave_view tap, a second output), at the cost of one extra taps GEMM
+    per point instead of breaking the run.  The prefix readout against
+    the FULL composite state is exact: the composite A is block
+    lower-triangular in section order, so [C_pre, 0] A^k = [C_pre
+    A_pre^k, 0]."""
     A, B, Cv, D = compose_sections(sections)
     N = _embed_dim(A.shape[0])
     A, B, Cv = _embedN(A, B, Cv, N)
@@ -148,27 +176,28 @@ def _cascade_constants(sections: tuple, C: int):
     for t in range(1, C + 1):
         P[t] = A @ P[t - 1]
 
-    # combined output taps: g[0] = D, g[d] = C A^(d-1) B
-    g = np.empty(C, np.float64)
-    g[0] = D
-    g[1:] = np.einsum("i,dij,j->d", Cv, P[: C - 1], B)
-    i = np.arange(C)
-    diff = i[None, :] - i[:, None]
-    Ltg = np.where(diff >= 0, g[np.clip(diff, 0, C - 1)], 0.0)  # [C, C]
-
-    W = np.einsum("dij,j->di", P[C - 1::-1], B)        # ends taps [C, N]
-    E = np.einsum("i,dij->dj", Cv, P[:C])              # carry->y    [C, N]
-
-    # bf16x3 eligibility bound for the output GEMM
-    # (utils.precision.gemm_precision)
-    l1 = float(np.abs(g).sum())
+    Ltg, E, l1 = _output_taps(Cv, D, P, B, C)
 
     f32 = np.float32
-    return (Ltg.astype(f32), W.astype(f32), E.astype(f32), P, N, B, l1)
+    emit_consts = []
+    for i in emits:
+        Ae, Be, Ce, De = compose_sections(sections[: i + 1])
+        Ce_ext = np.zeros((N,), np.float64)
+        Ce_ext[: Ce.shape[0]] = Ce
+        Lte, Ee, l1e = _output_taps(Ce_ext, De, P, B, C)
+        emit_consts.append((Lte.astype(f32), Ee.astype(f32), l1e))
+
+    return (Ltg.astype(f32), W_ends(P, B, C), E.astype(f32), P, N, B, l1,
+            tuple(emit_consts))
 
 
-@functools.partial(jax.jit, static_argnums=(1,), inline=True)
-def linear_cascade(x, sections: tuple, s_init):
+def W_ends(P, B, C: int):
+    """Chunk-end input taps [C, N]: W[d] = A^(C-1-d) B."""
+    return np.einsum("dij,j->di", P[C - 1::-1], B).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3), inline=True)
+def linear_cascade(x, sections: tuple, s_init, emits: tuple = ()):
     """Fused run of linear sections over ``x`` [..., T].
 
     ``s_init`` is the composite delayed state entering sample 0 (shape
@@ -177,6 +206,11 @@ def linear_cascade(x, sections: tuple, s_init):
     s_tm1/s_tm2 are the composite states ENTERING samples T-1 and T-2
     (s_tm2 is None when T == 1); decompose into per-node states with
     :func:`cascade_state_out`.
+
+    ``emits`` (static) lists section indices whose prefix output must
+    also be produced (see :func:`_cascade_constants`); when non-empty
+    the return gains a fourth element: a tuple of [..., T] signals, one
+    per emit point, in ``emits`` order.
     """
     f32 = jnp.float32
     C = _BLOCK_C
@@ -184,7 +218,8 @@ def linear_cascade(x, sections: tuple, s_init):
     T = x.shape[-1]
     batch = x.shape[:-1]
 
-    Ltg, W, E, P, N, B, l1 = _cascade_constants(sections, C)
+    Ltg, W, E, P, N, B, l1, emit_consts = _cascade_constants(
+        sections, C, tuple(emits))
     s_init = jnp.broadcast_to(jnp.asarray(s_init, f32), (*batch, N))
     hi = jax.lax.Precision.HIGHEST
     from dsp_stuff_tpu.utils.precision import gemm_precision
@@ -208,12 +243,17 @@ def linear_cascade(x, sections: tuple, s_init):
     carry_in = jnp.concatenate([s_init[..., None, :], S[..., :-1, :]],
                                axis=-2)                          # [..., K, N]
 
+    def readout(Lt, Ev, prec):
+        o = jnp.einsum("...kc,cd->...kd", X, jnp.asarray(Lt),
+                       preferred_element_type=f32, precision=prec) \
+            + jnp.einsum("...kb,db->...kd", carry_in, jnp.asarray(Ev),
+                         preferred_element_type=f32, precision=hi)
+        return o.reshape(*batch, K * C)[..., :T].astype(f32)
+
     # y = combined-taps GEMM + carried-state epilogue (fused by XLA)
-    y = jnp.einsum("...kc,cd->...kd", X, jnp.asarray(Ltg),
-                   preferred_element_type=f32, precision=gp) \
-        + jnp.einsum("...kb,db->...kd", carry_in, jnp.asarray(E),
-                     preferred_element_type=f32, precision=hi)
-    y = y.reshape(*batch, K * C)[..., :T].astype(f32)
+    y = readout(Ltg, E, gp)
+    emit_sigs = tuple(readout(Lte, Ee, gemm_precision(l1e))
+                      for Lte, Ee, l1e in emit_consts)
 
     # composite states entering samples T-1 and T-2, for the per-node
     # state rebuild: one masked [C, N] mat-vec each over the owning
@@ -238,6 +278,8 @@ def linear_cascade(x, sections: tuple, s_init):
         s_tm2 = s_at(K - 1, i_last - 1)
     else:
         s_tm2 = s_at(K - 2, C - 1)
+    if emits:
+        return y, s_tm1, s_tm2, emit_sigs
     return y, s_tm1, s_tm2
 
 

@@ -83,9 +83,9 @@ def test_compiled_graph_fuses_and_matches_oracle(monkeypatch):
     calls = []
     orig = cascade.linear_cascade
 
-    def spy(x, sections, s_init):
+    def spy(x, sections, s_init, emits=()):
         calls.append(sections)
-        return orig(x, sections, s_init)
+        return orig(x, sections, s_init, emits)
 
     monkeypatch.setattr(cascade, "linear_cascade", spy)
     g, inp, n1, n2, out = _pair_graph()
@@ -121,13 +121,32 @@ def _plan_of(g):
     return compile_mod._plan_linear_fusion(g, nodes, sccs)
 
 
-def test_fusion_blocked_by_extra_consumer():
-    """A second consumer of sec1's output (e.g. a wave_view tap) must
-    keep both nodes unfused -- the tap needs sec1's own signal."""
+def test_fusion_with_extra_consumer_emits_tap():
+    """A second consumer of sec1's output (e.g. a wave_view tap) no
+    longer breaks the run (since r4): the fused solve emits sec1's own
+    signal with an extra taps-GEMM row set, and the tap sees exactly
+    the prefix system's output (vs the per-node oracle)."""
     g, inp, n1, n2, out = _pair_graph()
     wv = g.add("wave_view")
     g.connect(n1, "out", wv, "in")
-    assert _plan_of(g) == []
+    assert _plan_of(g) == [[n1.id, n2.id]]
+
+    x = _sig(T, seed=47)
+    with precision.policy("fast"):
+        outs, aux, st = dst.compile_graph(g).render({str(inp.id): x})
+    o1, zw1 = _oracle_section("lp", 0.6, _hop(x))
+    o2, zw2 = _oracle_section("hp", 0.2, _hop(o1))
+    want = _hop(o2)
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    # the wave_view sink consumed the EMITTED intermediate (through its
+    # own single-pipe fan-in scale): analyze sees the lp signal
+    tap = np.asarray(aux[f"wave_view:{wv.id}"]["samples"])
+    errt = np.max(np.abs(tap.astype(np.float64) - _hop(o1)))
+    assert 20 * np.log10(max(errt, 1e-30)) <= -100.0
+    # per-node states still rebuild exactly
+    assert abs(float(np.asarray(st[str(n1.id)]["z"])) - float(zw1)) < 1e-6
+    assert abs(float(np.asarray(st[str(n2.id)]["z"])) - float(zw2)) < 1e-6
 
 
 def test_fusion_inside_cycles_plans_run(monkeypatch):
@@ -246,9 +265,9 @@ def test_gain_biquad_run_fuses_and_matches_oracle(monkeypatch):
     calls = []
     orig = cascade.linear_cascade
 
-    def spy(x, sections, s_init):
+    def spy(x, sections, s_init, emits=()):
         calls.append(sections)
-        return orig(x, sections, s_init)
+        return orig(x, sections, s_init, emits)
 
     monkeypatch.setattr(cascade, "linear_cascade", spy)
     g = dst.Graph()
@@ -383,9 +402,9 @@ def test_biquad_biquad_run_fuses_and_matches_oracle(monkeypatch):
     calls = []
     orig = cascade.linear_cascade
 
-    def spy(x, sections, s_init):
+    def spy(x, sections, s_init, emits=()):
         calls.append(sections)
-        return orig(x, sections, s_init)
+        return orig(x, sections, s_init, emits)
 
     monkeypatch.setattr(cascade, "linear_cascade", spy)
     g = dst.Graph()
@@ -482,3 +501,84 @@ def test_linear_cascade_biquad_block_boundary_split():
     err = np.max(np.abs(got.astype(np.float64) - np.asarray(y_full)))
     from conftest import ON_TPU
     assert 20 * np.log10(max(err, 1e-30)) <= (-100.0 if ON_TPU else -115.0)
+
+
+def test_in_cycle_tap_fuses_and_matches_unfused(monkeypatch):
+    """An analysis tap on the INTERMEDIATE of an in-cycle run no longer
+    breaks the fusion: the emitted block enters the scan carry, so a
+    consumer reads exactly what the unfused body would publish."""
+    g, inp, n1, n2, out = _pair_graph()
+    g.connect(n2, "out", n1, "in")           # feedback around the pair
+    wv = g.add("wave_view")
+    g.connect(n1, "out", wv, "in")
+    assert _plan_of(g) == [[n1.id, n2.id]]
+
+    x = _sig(T, seed=51)
+    with precision.policy("fast"):
+        fused, aux_f, _ = dst.compile_graph(g).render({str(inp.id): x})
+        monkeypatch.setattr(compile_mod, "_plan_linear_fusion",
+                            lambda *a, **k: [])
+        unfused, aux_u, _ = dst.compile_graph(g).render({str(inp.id): x})
+    err = np.max(np.abs(np.asarray(fused, np.float64)
+                        - np.asarray(unfused, np.float64)))
+    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    tap_f = np.asarray(aux_f[f"wave_view:{wv.id}"]["samples"], np.float64)
+    tap_u = np.asarray(aux_u[f"wave_view:{wv.id}"]["samples"], np.float64)
+    errt = np.max(np.abs(tap_f - tap_u))
+    assert 20 * np.log10(max(errt, 1e-30)) <= -100.0
+
+
+def test_tapped_head_emits_own_output():
+    """The run HEAD's output feeding a second consumer is emitted too
+    (the head's own signal differs from the run input)."""
+    g, inp, n1, n2, out = _pair_graph()
+    out2 = g.add("output")
+    g.connect(n1, "out", out2, "in")
+    assert _plan_of(g) == [[n1.id, n2.id]]
+    x = _sig(T, seed=53)
+    with precision.policy("fast"):
+        outs, _, _ = dst.compile_graph(g).render({str(inp.id): x})
+    o1, _ = _oracle_section("lp", 0.6, _hop(x))
+    o2, _ = _oracle_section("hp", 0.2, _hop(o1))
+    # output ids ascending: out (tail) then out2 (head tap)
+    got = np.asarray(outs)
+    err_tail = np.max(np.abs(got[0].astype(np.float64) - _hop(o2)))
+    err_head = np.max(np.abs(got[1].astype(np.float64) - _hop(o1)))
+    assert 20 * np.log10(max(err_tail, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err_head, 1e-30)) <= -100.0
+
+
+def test_run_dim8_four_biquad_stack(monkeypatch):
+    """With the cap at 8 a 4-biquad EQ stack fuses as ONE dim-8 solve;
+    output and every DirectForm1 state match the sequential oracle
+    (exercises _vecn_recurrence at n=8 and the dim-8 embed)."""
+    monkeypatch.setattr(cascade, "MAX_RUN_DIM", 8)
+    cascade._cascade_constants.cache_clear()
+    coefs = [(1.0, -0.24, 0.05, 0.758, 0.1, 0.02),
+             (1.0, 0.31, 0.12, 0.6, -0.15, 0.05),
+             (1.0, -0.52, 0.2, 0.9, 0.05, 0.0),
+             (1.0, 0.18, 0.07, 0.7, 0.12, 0.03)]
+    g = dst.Graph()
+    inp = g.add("input")
+    ns = []
+    for a0, a1, a2, b0, b1, b2 in coefs:
+        ns.append(g.add("biquad", a0=a0, a1=a1, a2=a2, b0=b0, b1=b1,
+                        b2=b2))
+    out = g.add("output")
+    g.chain(inp, *ns, out)
+    assert _plan_of(g) == [[n.id for n in ns]]
+    x = _sig(T, seed=55)
+    with precision.policy("fast"):
+        outs, _, st = dst.compile_graph(g).render({str(inp.id): x})
+    v = x
+    wants = []
+    for a0, a1, a2, b0, b1, b2 in coefs:
+        v, stw = oracle.biquad_df1(_hop(v), a0, a1, a2, b0, b1, b2)
+        wants.append(stw)
+    want = _hop(v)
+    err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-30)) <= -90.0
+    for n, stw in zip(ns, wants):
+        for key, want_v in zip(("x1", "x2", "y1", "y2"), stw):
+            got_v = float(np.asarray(st[str(n.id)][key]))
+            assert abs(got_v - float(want_v)) < 5e-5, (n.id, key)
