@@ -330,8 +330,84 @@ def _active_nodes(graph: Graph) -> set[int]:
 _LINEAR_KINDS = {"gain": "gain", "low_pass": "lp", "high_pass": "hp",
                  "biquad": "bq"}
 
+#: stateless elementwise node types fusable into a chain segment
+#: (ops/chain_segment.py) between linear runs
+_EW_KINDS = ("distort", "overdrive", "chebyshev")
 
-def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
+#: stateful node types that keep a chain segment worthwhile
+_MEGA_STATEFUL = ("low_pass", "high_pass", "biquad", "reverb")
+
+
+def _plan_mega_fusion(graph: Graph, nodes: dict, sccs) -> list:
+    """Maximal ACYCLIC chains of mega-fusable nodes (the linear kinds +
+    distort/overdrive/chebyshev at base rate + reverb) joined by strict
+    sole-consumer links, evaluated as ONE ops/chain_segment (the Pallas
+    megakernel on TPU at batch: one signal read + one write across the
+    whole run; elsewhere an equivalent stage composition).
+
+    A node with extra consumers ends its chain (it becomes the tail,
+    whose output the segment publishes) — chain segments do not emit
+    intermediate taps; the linear-run planner, which does, picks up any
+    leftover linear adjacencies outside these runs.  A run must have
+    >= 2 nodes, >= 1 stateful member and >= 1 non-linear member
+    (pure-linear runs belong to _plan_linear_fusion's richer handling,
+    pure-elementwise ones to XLA fusion)."""
+    cyclic = set()
+    for comp in sccs:
+        if len(comp) > 1 or any(l.src == l.dst == comp[0]
+                                for l in graph.links):
+            cyclic.update(comp)
+    out_links: dict[int, list] = {}
+    modded = set()
+    for l in graph.links:
+        out_links.setdefault(l.src, []).append(l)
+        if l.dst_port != "in":
+            modded.add(l.dst)
+
+    def mega_ok(nid) -> bool:
+        node = nodes.get(nid)
+        if node is None or nid in modded or nid in cyclic:
+            return False
+        cn = node.cfg_name
+        if cn in _LINEAR_KINDS or cn in ("chebyshev", "reverb"):
+            return True
+        if cn in ("distort", "overdrive"):
+            # oversampled shaping runs through the FIR rate ladder --
+            # not a resident-block stage
+            return str(node.params.get("oversample", "1")) == "1"
+        return False
+
+    nxt: dict[int, int] = {}
+    for nid in nodes:
+        if not mega_ok(nid):
+            continue
+        ls = out_links.get(nid, [])
+        if len(ls) != 1:
+            continue
+        l = ls[0]
+        if (l.dst_port == "in" and l.dst != nid
+                and len(graph.in_links(l.dst, "in")) == 1
+                and mega_ok(l.dst)):
+            nxt[nid] = l.dst
+
+    runs = []
+    targets = set(nxt.values())
+    for nid in sorted(nxt):
+        if nid in targets:
+            continue
+        chain = [nid]
+        while chain[-1] in nxt:
+            chain.append(nxt[chain[-1]])
+        kinds = [nodes[n].cfg_name for n in chain]
+        if (len(chain) >= 2
+                and any(k in _MEGA_STATEFUL for k in kinds)
+                and any(k not in _LINEAR_KINDS for k in kinds)):
+            runs.append(chain)
+    return runs
+
+
+def _plan_linear_fusion(graph: Graph, nodes: dict, sccs,
+                        exclude: frozenset = frozenset()) -> list:
     """Maximal runs of adjacent linear nodes fusable into one
     ops/cascade.linear_cascade solve.  Returns a list of runs, each a
     list of node ids in signal order — acyclic runs AND in-cycle runs
@@ -438,7 +514,7 @@ def _plan_linear_fusion(graph: Graph, nodes: dict, sccs) -> list:
     def linear(nid) -> bool:
         node = nodes.get(nid)
         return (node is not None and node.cfg_name in _LINEAR_KINDS
-                and nid not in modded)
+                and nid not in modded and nid not in exclude)
 
     # acyclic runs
     nxt: dict[int, int] = {}
@@ -493,13 +569,16 @@ def compile_graph(graph: Graph, block_size: int = 128,
             edges[l.src].add(l.dst)
     sccs = condensation_topo_order(sorted(nodes), edges)
 
-    # structural plan for linear-run fusion (ops/cascade.py): maximal
-    # chains of adjacent gain/low_pass/high_pass/biquad nodes, joined by
-    # chain links (tapped intermediates are emitted from the solve),
-    # fuse into one blocked solve each -- the dynamic preconditions
-    # (fast policy, no NODE_HOOK, concrete params, no fit overrides) are
-    # re-checked per trace in _eval.
-    fusion_plan = _plan_linear_fusion(graph, nodes, sccs)
+    # structural plans: chain segments first (linear cascades +
+    # elementwise shapers + combs as ONE op, ops/chain_segment.py — the
+    # Pallas megakernel on TPU), then linear-run fusion (ops/cascade.py)
+    # over the remaining nodes (tapped intermediates are emitted from
+    # the solve).  Dynamic preconditions (fast policy, no NODE_HOOK,
+    # concrete params, no fit overrides) are re-checked per trace.
+    mega_plan = _plan_mega_fusion(graph, nodes, sccs)
+    mega_members = frozenset(n for run in mega_plan for n in run)
+    fusion_plan = _plan_linear_fusion(graph, nodes, sccs,
+                                      exclude=mega_members)
 
     def init_state():
         st = {
@@ -624,6 +703,181 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 tapped.append(nid)
         return tapped
 
+    def _mega_stages(run, pdict):
+        """(stages, state_specs) for a mega run in ops/chain_segment's
+        stage grammar, or None when this trace cannot fuse it (traced
+        fit overrides or non-concrete params).  Adjacent linear members
+        collapse into shared ``("cascade", sections)`` stages (split at
+        cascade.MAX_RUN_DIM) with the link fan-in scales interleaved as
+        gain sections exactly like _run_sections; scales between
+        non-linear stages accumulate into one ``("scale", s)`` (fast
+        policy only, so the fold's single rounding is in-contract).
+        state_specs parallels the STATEFUL stages in order:
+        ("cascade", sections, stateful_ids) | ("comb", nid)."""
+        from dsp_stuff_tpu.ops.cascade import SECTION_DIMS, MAX_RUN_DIM
+        from dsp_stuff_tpu.ops.delay_line import delay_samples
+        h = 1.0 / float(_fanin_divisor(1))
+        stages: list = []
+        specs: list = []
+        cur: list = []          # open cascade: (kind, param) sections
+        cur_ids: list = []      # stateful member node ids of cur
+        cur_dim = 0
+        pend = 1.0              # pending scalar scale before the next stage
+
+        def concrete(v):
+            return isinstance(v, (int, float, np.floating))
+
+        def close():
+            nonlocal cur, cur_ids, cur_dim, pend
+            if not cur:
+                return
+            if cur_dim == 0:
+                # stateless (pure-gain) group: fold into the running scale
+                for _, v in cur:
+                    pend *= float(v)
+            else:
+                stages.append(("cascade", tuple(cur)))
+                specs.append(("cascade", tuple(cur), tuple(cur_ids)))
+            cur, cur_ids, cur_dim = [], [], 0
+
+        def flush_scale():
+            nonlocal pend
+            if pend != 1.0:
+                stages.append(("scale", float(np.float32(pend))))
+                pend = 1.0
+
+        for i, nid in enumerate(run):
+            if str(nid) in (pdict or {}):
+                return None
+            node = nodes[nid]
+            cn = node.cfg_name
+            if cn in _LINEAR_KINDS:
+                kind = _LINEAR_KINDS[cn]
+                d = SECTION_DIMS[kind]
+                if kind == "gain":
+                    lvl = node.params["level"]
+                    if not concrete(lvl):
+                        return None
+                    sec = ("gain", float(np.float32(lvl)))
+                elif kind in ("lp", "hp"):
+                    r = node.params["ratio"]
+                    if not concrete(r):
+                        return None
+                    sec = (kind, float(r))
+                else:
+                    raw = [node.params[k]
+                           for k in ("a0", "a1", "a2", "b0", "b1", "b2")]
+                    if not all(concrete(v) for v in raw):
+                        return None
+                    # same f32 division as BiQuad (biquad.rs:64-71)
+                    a0 = np.float32(raw[0])
+                    sec = ("bq", tuple(float(np.float32(np.float32(v) / a0))
+                                       for v in raw[1:]))
+                if cur and cur_dim + d > MAX_RUN_DIM:
+                    close()
+                if cur:
+                    cur.append(("gain", h))
+                else:
+                    if i:
+                        pend *= h
+                    if pend != 1.0:
+                        cur.append(("gain", float(np.float32(pend))))
+                        pend = 1.0
+                cur.append(sec)
+                if d:
+                    cur_ids.append(nid)
+                cur_dim += d
+            else:
+                close()
+                if i:
+                    pend *= h
+                if cn == "reverb":
+                    dec = node.params["decay"]
+                    if not concrete(dec):
+                        return None
+                    flush_scale()
+                    D = delay_samples(float(node.params["seconds"]))
+                    stages.append(("comb", float(np.float32(dec)), int(D)))
+                    specs.append(("comb", nid))
+                elif cn == "overdrive":
+                    ps = [node.params[k] for k in ("boost", "drive", "level")]
+                    if not all(concrete(v) for v in ps):
+                        return None
+                    flush_scale()
+                    stages.append(("ew", "overdrive",
+                                   tuple(float(np.float32(v)) for v in ps)))
+                elif cn == "chebyshev":
+                    ps = [node.params[k]
+                          for k in ("level_pos", "level_neg")]
+                    if not all(concrete(v) for v in ps):
+                        return None
+                    flush_scale()
+                    stages.append(("ew", "chebyshev",
+                                   tuple(float(np.float32(v)) for v in ps)))
+                else:                           # distort (planner-vetted)
+                    lvl = node.params["level"]
+                    if not concrete(lvl):
+                        return None
+                    flush_scale()
+                    stages.append(("ew", f"distort:{node.params['mode']}",
+                                   (float(np.float32(lvl)),)))
+        close()
+        flush_scale()
+        return tuple(stages), tuple(specs)
+
+    def _active_mega(pdict) -> tuple[dict, set]:
+        """(head node id -> (run, stages, specs), non-head member ids)
+        for the mega runs whose dynamic preconditions hold for THIS
+        trace (same gates as _active_fusion)."""
+        from dsp_stuff_tpu.utils import precision
+        if (not mega_plan or NODE_HOOK is not None
+                or precision.get_policy().name != "fast"):
+            return {}, set()
+        heads: dict[int, tuple] = {}
+        interior: set = set()
+        for run in mega_plan:
+            got = _mega_stages(run, pdict)
+            if got is None:
+                continue
+            stages, specs = got
+            heads[run[0]] = (run, stages, specs)
+            interior.update(run[1:])
+        return heads, interior
+
+    def _mega_run_eval(run, stages, specs, x1, st):
+        """Evaluate a mega run over its head input ``x1`` [..., T] as one
+        ops/chain_segment, updating the member states in ``st``; returns
+        {(tail, "out"): y} (mega runs have no tapped intermediates --
+        the planner ends a chain at any extra consumer)."""
+        from dsp_stuff_tpu.ops import cascade
+        from dsp_stuff_tpu.ops.chain_segment import chain_segment
+        state_in = []
+        for sp in specs:
+            if sp[0] == "cascade":
+                _, secs, ids = sp
+                state_in.append(cascade.cascade_state_in(
+                    secs, [st[str(n)] for n in ids]))
+            else:
+                nst = st[str(sp[1])]
+                # canonicalize the reverb ring oldest-first (pos from a
+                # prior block-path render may be nonzero)
+                state_in.append(jnp.roll(nst["ring"], -nst["pos"], axis=-1))
+        y, cinfos, hists = chain_segment(x1, stages, tuple(state_in))
+        ci = hi = 0
+        for sp in specs:
+            if sp[0] == "cascade":
+                _, secs, ids = sp
+                s_tm1, s_tm2, x_tm1, x_tm2 = cinfos[ci]
+                ci += 1
+                outs = cascade.cascade_state_out(secs, s_tm1, s_tm2,
+                                                 x_tm1, x_tm2)
+                for n, ns in zip(ids, outs):
+                    st[str(n)] = ns
+            else:
+                st[str(sp[1])] = {"ring": hists[hi], "pos": jnp.int32(0)}
+                hi += 1
+        return {(run[-1], "out"): y}
+
     def _active_fusion(pdict) -> tuple[dict, set]:
         """(head node id -> (run, sections, emits, tapped), non-head
         member ids) for the runs whose dynamic preconditions hold for
@@ -677,6 +931,7 @@ def compile_graph(graph: Graph, block_size: int = 128,
         state = dict(state)
         values: dict[tuple[int, str], Any] = {}
         fused_heads, fused_interior = _active_fusion(pdict)
+        mega_heads, mega_interior = _active_mega(pdict)
 
         def port_sources(nid, port, lookup):
             return [lookup(l.src, l.src_port)
@@ -690,8 +945,14 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 l.src == l.dst == comp[0] for l in graph.links)
             if not is_cycle:
                 nid = comp[0]
-                if nid in fused_interior:
+                if nid in mega_interior or nid in fused_interior:
                     continue                  # evaluated at the run head
+                if nid in mega_heads:
+                    run, stages, specs = mega_heads[nid]
+                    x1, _ = _avg(port_sources(run[0], "in", seq_lookup), T)
+                    values.update(_mega_run_eval(run, stages, specs,
+                                                 x1, state))
+                    continue
                 if nid in fused_heads:
                     run, secs, emits, tapped = fused_heads[nid]
                     x1, _ = _avg(port_sources(run[0], "in", seq_lookup), T)

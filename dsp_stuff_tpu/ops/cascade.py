@@ -27,8 +27,8 @@ Series composition (sys2 consuming h * y1) is exact in this convention:
     C = [D2 h C1, C2],             D = D2 h D1
 
 so a whole run collapses to ONE composite (A, B, C, D) with state dim
-n = sum of section dims (capped at MAX_RUN_DIM = 4: up to two biquads,
-or one plus two one-poles), lowering exactly like one first-order op: a
+n = sum of section dims (capped at MAX_RUN_DIM = 8: up to a 4-biquad EQ
+stack), lowering exactly like one first-order op: a
 combined-taps triangular-Toeplitz GEMM (g[0] = D, g[d] = C A^(d-1) B),
 one [C_blk, N] chunk-end mat-vec, and the tiny vecN carry chain
 (ops/scan._vecn_recurrence).
@@ -59,8 +59,13 @@ from dsp_stuff_tpu.ops.scan import _BLOCK_C, _vecn_recurrence
 SECTION_DIMS = {"gain": 0, "lp": 1, "hp": 1, "bq": 2}
 
 #: composite state-dimension cap for fused runs (the vecN carry chain;
-#: odd dims embed into the next power of two)
-MAX_RUN_DIM = 4
+#: odd dims embed into the next power of two).  8 admits a 4-biquad EQ
+#: stack as ONE solve: measured at batch 512 x 10 s on v5e (tools/
+#: measure_rundim.py) the dim-8 solve beats the dim-4 2+2 split 1.42x
+#: (64.5 vs 91.8 ms; 317,577 vs 222,989 aggregate audio-s/s) -- the
+#: [C, 8] ends mat-vec is noise next to the whole second solver round
+#: it removes.
+MAX_RUN_DIM = 8
 
 
 
@@ -281,6 +286,53 @@ def linear_cascade(x, sections: tuple, s_init, emits: tuple = ()):
     if emits:
         return y, s_tm1, s_tm2, emit_sigs
     return y, s_tm1, s_tm2
+
+
+@functools.lru_cache(maxsize=128)
+def _tail_state_constants(sections: tuple, C: int):
+    """Constants for :func:`cascade_tail_states`: (P[m], taps_m) pairs
+    for m = C-1 and C-2 (f32), over the embedded composite."""
+    A, B, Cv, D = compose_sections(sections)
+    N = _embed_dim(A.shape[0])
+    A, B, Cv = _embedN(A, B, Cv, N)
+    P = np.empty((C, N, N), np.float64)
+    P[0] = np.eye(N)
+    for t in range(1, C):
+        P[t] = A @ P[t - 1]
+
+    def taps(m):
+        t = np.zeros((C, N), np.float64)
+        if m > 0:
+            t[:m] = np.einsum("dij,j->di", P[m - 1::-1], B)
+        return t.astype(np.float32)
+
+    f32 = np.float32
+    return ((P[C - 1].astype(f32), taps(C - 1)),
+            (P[C - 2].astype(f32), taps(C - 2)), N)
+
+
+def cascade_tail_states(sections, x_last, carry_last, C: int = 128):
+    """(s_tm1, s_tm2) composite states entering samples T-1 and T-2 of a
+    run whose LAST full chunk input is ``x_last`` [..., C] and whose
+    composite state entering that chunk is ``carry_last`` [..., N]
+    (requires T % C == 0, so both samples live in the last chunk).
+
+    The megakernel (ops/pallas_chain.py) emits (carry_last, x_last) per
+    cascade stage; this reproduces linear_cascade's in-graph ``s_at``
+    readout on the host side so per-node states rebuild identically."""
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    (P1, T1), (P2, T2), N = _tail_state_constants(tuple(sections), C)
+    x_last = jnp.asarray(x_last, f32)
+
+    def s_at(Pm, Tm):
+        zs = jnp.einsum("...c,cb->...b", x_last, jnp.asarray(Tm),
+                        preferred_element_type=f32, precision=hi)
+        return jnp.einsum("ij,...j->...i", jnp.asarray(Pm),
+                          carry_last[..., :N],
+                          preferred_element_type=f32, precision=hi) + zs
+
+    return s_at(P1, T1), s_at(P2, T2)
 
 
 def _section_values(sections, s_t, x_t):

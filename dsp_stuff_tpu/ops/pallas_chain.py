@@ -1,0 +1,277 @@
+"""Pallas TPU megakernel: a whole chain segment in ONE HBM pass.
+
+The XLA composition of a 10-node chain pays one full signal read+write
+per stage (plus extra operand passes inside each blocked solve) -- at
+batch 512 the chain measured ~9% of the pure-I/O HBM floor.  On TPU,
+Pallas grids execute sequentially, so every per-stage carry (cascade
+composite states, comb delay rings) can live in VMEM scratch across grid
+steps and a [BT, 128] block flows through ALL stages while resident:
+
+  per grid step ([BT, TB*128] samples in VMEM), per 128-sample sub-block:
+    cascade:  Z = X Ltg (MXU) ; y = Z + s Ecb ; s = s ACt + X W
+    scale/ew: VPU elementwise on the resident block (ops/shaping fns
+              trace inside the kernel unchanged)
+    comb:     delayed = ring[slot(b-NR)] (+ static intra-block shift);
+              y = x + d*delayed ; ring[slot(b)] = y
+
+The whole segment costs one signal read + one write; everything else
+(tap matrices, carries, rings) stays on-chip.  State handoff for the
+compiler's per-node rebuild: at the last REAL block each cascade stage
+emits (carry entering it, its input block) and each comb emits its ring
+(ops/chain_segment.py reconstructs s_tm1/s_tm2 and the [D] history).
+
+Stage grammar and dispatch preconditions: ops/chain_segment.py.
+Mosaic gotchas honored (CLAUDE.md): trace under jax.enable_x64(False);
+no scatter (ring updates are leading-dim dynamic-slice stores); where-
+selects over masked multiplies come from the shaping fns themselves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dsp_stuff_tpu.ops.cascade import _cascade_constants
+from dsp_stuff_tpu.ops.chain_segment import apply_ew
+
+BT = 128       # batch rows per grid step
+C = 128        # samples per sub-block (the compiler's reference frame)
+NS = 8         # padded composite-state lanes (MAX_RUN_DIM embeds <= 8)
+
+
+def _pick_tb(K: int) -> int:
+    """Sub-blocks per grid step: the largest divisor of K <= 16 (zero
+    time padding), or 16 when K is divisor-poor (pad < TB blocks)."""
+    for tb in range(16, 0, -1):
+        if K % tb == 0:
+            return tb
+    return 16
+
+
+@functools.lru_cache(maxsize=64)
+def _casc_consts(sections: tuple):
+    """(Ltg [C,C], W [C,NS], Ecb [NS,C], ACt [NS,NS]) f32 NumPy for one
+    cascade stage, padded to the NS-lane carry layout."""
+    Ltg, W, E, P, N, B, l1, _ = _cascade_constants(sections, C, ())
+    Wp = np.zeros((C, NS), np.float32)
+    Wp[:, :N] = W
+    Ecb = np.zeros((NS, C), np.float32)
+    Ecb[:N, :] = E.T
+    ACt = np.zeros((NS, NS), np.float32)
+    ACt[:N, :N] = P[C].astype(np.float32).T
+    return Ltg, Wp, Ecb, ACt
+
+
+def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
+    """Kernel closure for a static stage list.
+
+    Ref order: x, [per-cascade: ltg, w, ecb, act, s0], [per-comb: hist],
+    then outs: y, [per-cascade: carry_out, xlast_out], [per-comb:
+    ring_out], then scratch: [per-cascade: carry], [per-comb: ring]."""
+    cascades = [st for st in stages if st[0] == "cascade"]
+    combs = [st for st in stages if st[0] == "comb"]
+    n_c = len(cascades)
+    n_b = len(combs)
+    j_star = (K - 1) % TB
+    comb_geom = []
+    for st in combs:
+        D = st[2]
+        NR = -(-D // C)
+        comb_geom.append((NR, NR * C - D, np.float32(st[1])))
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        casc_in = refs[1:1 + 4 * n_c]
+        s0_refs = refs[1 + 4 * n_c:1 + 5 * n_c]
+        hist_refs = refs[1 + 5 * n_c:1 + 5 * n_c + n_b]
+        o = 1 + 5 * n_c + n_b
+        y_ref = refs[o]
+        casc_out = refs[o + 1:o + 1 + 2 * n_c]
+        ring_outs = refs[o + 1 + 2 * n_c:o + 1 + 2 * n_c + n_b]
+        s = o + 1 + 2 * n_c + n_b
+        carry_refs = refs[s:s + n_c]
+        ring_refs = refs[s + n_c:s + n_c + n_b]
+
+        k = pl.program_id(1)
+        f32 = jnp.float32
+        hi = jax.lax.Precision.HIGHEST
+
+        @pl.when(k == 0)
+        def _():
+            for c in range(n_c):
+                carry_refs[c][:, :] = s0_refs[c][:, :]
+            for b in range(n_b):
+                NR = comb_geom[b][0]
+                for m in range(NR):
+                    ring_refs[b][m] = hist_refs[b][:, m * C:(m + 1) * C]
+
+        def dot(a, w):
+            return jnp.dot(a, w, preferred_element_type=f32, precision=hi)
+
+        for j in range(TB):
+            blk = x_ref[:, j * C:(j + 1) * C]
+            ci = 0
+            bi = 0
+            for st in stages:
+                if st[0] == "cascade":
+                    ltg, w, ecb, act = casc_in[4 * ci:4 * ci + 4]
+                    if j == j_star:
+                        @pl.when(k == K_steps - 1)
+                        def _(blk=blk, ci=ci):
+                            # carry ENTERING the last real block + that
+                            # block's stage input, for the host-side
+                            # s_tm1/s_tm2 rebuild
+                            casc_out[2 * ci][:, :] = jnp.pad(
+                                carry_refs[ci][:, :],
+                                ((0, 0), (0, C - NS)))
+                            casc_out[2 * ci + 1][:, :] = blk
+                    carry = carry_refs[ci][:, :]
+                    y = dot(blk, ltg[:]) + dot(carry, ecb[:])
+                    carry_refs[ci][:, :] = dot(carry, act[:]) \
+                        + dot(blk, w[:])
+                    blk = y
+                    ci += 1
+                elif st[0] == "scale":
+                    blk = blk * f32(st[1])
+                elif st[0] == "ew":
+                    blk = apply_ew(st[1], blk, st[2])
+                else:                                   # comb
+                    NR, off, decay = comb_geom[bi]
+                    b_idx = k * TB + j
+                    slot = jax.lax.rem(b_idx, NR)
+                    blkA = ring_refs[bi][slot]
+                    if off:
+                        slot2 = jax.lax.rem(b_idx + 1, NR)
+                        blkB = ring_refs[bi][slot2]
+                        delayed = jnp.concatenate(
+                            [blkA[:, off:], blkB[:, :off]], axis=1)
+                    else:
+                        delayed = blkA
+                    y = blk + decay * delayed
+                    if j <= j_star:
+                        ring_refs[bi][slot] = y
+                    else:
+                        # sub-blocks past j_star are PAD at the final
+                        # step: their writes would corrupt the ring's
+                        # last-D window before emission
+                        @pl.when(k < K_steps - 1)
+                        def _(y=y, bi=bi, slot=slot):
+                            ring_refs[bi][slot] = y
+                    blk = y
+                    bi += 1
+            y_ref[:, j * C:(j + 1) * C] = blk
+
+        @pl.when(k == K_steps - 1)
+        def _():
+            for b in range(n_b):
+                NR = comb_geom[b][0]
+                for m in range(NR):
+                    ring_outs[b][:, m, :] = ring_refs[b][m]
+
+    return kernel
+
+
+def chain_kernel_call(x, stages: tuple, state_in: tuple,
+                      interpret: bool = False):
+    """x [B, T] (T % 128 == 0) -> (y [B, T],
+    per-cascade (carry_last [B, NS], x_last [B, C]),
+    per-comb ring [B, NR, C])."""
+    f32 = jnp.float32
+    x = jnp.asarray(x, f32)
+    B, T = x.shape
+    K = T // C
+    TB = _pick_tb(K)
+    K_steps = -(-K // TB)
+    Bp = -(-B // BT) * BT
+    Tp = K_steps * TB * C
+    xp = jnp.pad(x, ((0, Bp - B), (0, Tp - T)))
+
+    cascades = [st for st in stages if st[0] == "cascade"]
+    combs = [st for st in stages if st[0] == "comb"]
+    n_c, n_b = len(cascades), len(combs)
+
+    # operands: per-cascade constants + padded initial states, per-comb
+    # padded history blocks
+    ops = [xp]
+    in_specs = [pl.BlockSpec((BT, TB * C), lambda i, k: (i, k),
+                             memory_space=pltpu.VMEM)]
+    const_spec = lambda shp: pl.BlockSpec(shp, lambda i, k: tuple(
+        0 for _ in shp), memory_space=pltpu.VMEM)
+    si = 0
+    s0s = []
+    hists = []
+    state_iter = list(state_in)
+    for st in stages:
+        if st[0] == "cascade":
+            s0 = jnp.asarray(state_iter[si], f32)
+            si += 1
+            N = s0.shape[-1]
+            s0p = jnp.pad(s0, ((0, Bp - B), (0, NS - N)))
+            s0s.append(s0p)
+        elif st[0] == "comb":
+            hist = jnp.asarray(state_iter[si], f32)
+            si += 1
+            D = st[2]
+            NR = -(-D // C)
+            off = NR * C - D
+            hp = jnp.pad(hist, ((0, Bp - B), (off, 0)))
+            hists.append(hp)
+    for st in cascades:
+        Ltg, Wp, Ecb, ACt = _casc_consts(st[1])
+        ops += [jnp.asarray(Ltg), jnp.asarray(Wp), jnp.asarray(Ecb),
+                jnp.asarray(ACt)]
+        in_specs += [const_spec((C, C)), const_spec((C, NS)),
+                     const_spec((NS, C)), const_spec((NS, NS))]
+    for s0p in s0s:
+        ops.append(s0p)
+        in_specs.append(pl.BlockSpec((BT, NS), lambda i, k: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    for hp in hists:
+        NRC = hp.shape[-1]
+        ops.append(hp)
+        in_specs.append(pl.BlockSpec((BT, NRC), lambda i, k: (i, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((BT, TB * C), lambda i, k: (i, k),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((Bp, Tp), f32)]
+    for _ in cascades:
+        for _k in range(2):
+            out_specs.append(pl.BlockSpec((BT, C), lambda i, k: (i, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((Bp, C), f32))
+    scratch = [pltpu.VMEM((BT, NS), f32) for _ in cascades]
+    for st in combs:
+        NR = -(-st[2] // C)
+        out_specs.append(pl.BlockSpec((BT, NR, C),
+                                      lambda i, k: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((Bp, NR, C), f32))
+        scratch.append(pltpu.VMEM((NR, BT, C), f32))
+
+    from dsp_stuff_tpu.ops.pallas_math import safe_transcendentals
+    kernel = _build_kernel(tuple(stages), TB, K, K_steps)
+    with jax.enable_x64(False), safe_transcendentals():
+        outs = pl.pallas_call(
+            kernel,
+            grid=(Bp // BT, K_steps),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*ops)
+
+    y = outs[0][:B, :T]
+    casc_raw = []
+    for c in range(n_c):
+        carry = outs[1 + 2 * c][:B, :NS]
+        x_last = outs[1 + 2 * c + 1][:B, :]
+        casc_raw.append((carry, x_last))
+    ring_raw = [outs[1 + 2 * n_c + b][:B] for b in range(n_b)]
+    return y, tuple(casc_raw), tuple(ring_raw)

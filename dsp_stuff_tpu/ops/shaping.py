@@ -32,8 +32,18 @@ def _trans(fn, v):
     ~20 ulp off the correctly-rounded value; Rust's libm is <= 1 ulp.  Under
     the 'parity'/'exact' policies we evaluate in f64 and round, landing
     within ~1 ulp of the reference (-approx 138 dBFS at full scale); 'fast'
-    keeps native f32 (-approx 87 dBFS worst case, still inaudible)."""
+    keeps native f32 (-approx 87 dBFS worst case, still inaudible).
+
+    Inside a Pallas kernel body (the chain megakernel's VMEM-resident
+    stages) the Mosaic lowering lacks tanh/atan/sin primitives; the
+    ops/pallas_math substitutions take over -- fast policy only, each
+    within ~1e-9..1e-7 of the XLA kernel it replaces."""
     if get_policy().name == "fast":
+        from dsp_stuff_tpu.ops import pallas_math
+        if pallas_math.substituted():
+            safe = pallas_math.SAFE.get(fn.__name__)
+            if safe is not None:
+                return safe(v)
         return fn(v)
     return fn(v.astype(jnp.float64)).astype(jnp.float32)
 

@@ -450,8 +450,10 @@ def test_biquad_biquad_run_segmented_state_carry():
 
 
 def test_fusion_plan_dim_cap_split():
-    """lp -> hp -> bq -> bq -> lp (dim 7) splits greedily at the dim-4
-    cap: [lp, hp, bq] then [bq, lp]."""
+    """lp -> hp -> bq -> bq -> lp (dim 7) fits the dim-8 cap as ONE run;
+    a 5th biquad (dim 9) splits greedily: [lp, hp, bq, bq, lp] (dim 7 --
+    the next bq would overflow) then the trailing [bq] alone is dropped
+    (< 2 nodes)."""
     g = dst.Graph()
     inp = g.add("input")
     f1 = g.add("low_pass", ratio=0.3)
@@ -462,7 +464,15 @@ def test_fusion_plan_dim_cap_split():
     f3 = g.add("low_pass", ratio=0.8)
     out = g.add("output")
     g.chain(inp, f1, f2, q1, q2, f3, out)
-    assert _plan_of(g) == [[f1.id, f2.id, q1.id], [q2.id, f3.id]]
+    assert _plan_of(g) == [[f1.id, f2.id, q1.id, q2.id, f3.id]]
+
+    g2 = dst.Graph()
+    inp2 = g2.add("input")
+    ns = [g2.add("biquad", a0=1.0, a1=-0.2, a2=0.05, b0=0.9, b1=0.0,
+                 b2=0.0) for _ in range(5)]
+    out2 = g2.add("output")
+    g2.chain(inp2, *ns, out2)
+    assert _plan_of(g2) == [[n.id for n in ns[:4]]]
 
 
 def test_one_pole_pair_state_carry_block_boundary_split():

@@ -1,0 +1,290 @@
+"""Chain-segment mega fusion (ops/chain_segment.py + pallas_chain.py +
+compiler _plan_mega_fusion/_mega_run_eval): maximal sole-consumer chains
+of linear + elementwise-shaper + feedback-comb nodes evaluate as ONE op
+— on TPU at batch a single-HBM-pass Pallas megakernel, elsewhere a
+stage composition of the per-op lowerings (which these tests pin
+against, plus the interpret-mode kernel).
+
+Reference semantics per member: gain.rs:27-38, low_pass.rs:36-41,
+biquad.rs:79-89, overdrive.rs:31-43, distort.rs:184-194,
+chebyshev.rs:28-42, reverb.rs:87-105; the chain itself replaces the
+reference's task-per-node loop (runtime.rs:718-728)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import dsp_stuff_tpu as dst
+from dsp_stuff_tpu.compiler import compile as compile_mod
+from dsp_stuff_tpu.ops import chain_segment as cs
+from dsp_stuff_tpu.ops import pallas_chain as pc
+from dsp_stuff_tpu.utils import precision
+
+
+def _mega_plan_of(g):
+    active = compile_mod._active_nodes(g)
+    nodes = {nid: n for nid, n in g.nodes.items() if nid in active}
+    edges = {nid: set() for nid in nodes}
+    for l in g.links:
+        if l.src in nodes and l.dst in nodes:
+            edges[l.src].add(l.dst)
+    from dsp_stuff_tpu.compiler.scc import condensation_topo_order
+    sccs = condensation_topo_order(sorted(nodes), edges)
+    return compile_mod._plan_mega_fusion(g, nodes, sccs)
+
+
+def _bench_like_chain():
+    """The bench.py 10-node shape: two linear groups, three shapers and
+    a comb, all mega-fusable into one run."""
+    g = dst.Graph()
+    inp = g.add("input")
+    gn = g.add("gain", level=1.2)
+    bq = g.add("biquad", a0=1.0, a1=-0.24, a2=0.0, b0=0.758, b1=0.0, b2=0.0)
+    od = g.add("overdrive", boost=4.0, drive=0.6, level=0.9)
+    lp = g.add("low_pass", ratio=0.6)
+    hp = g.add("high_pass", ratio=0.2)
+    dt = g.add("distort", mode="Tanh", level=3.0)
+    ch = g.add("chebyshev", level_pos=2.0, level_neg=4.0)
+    rv = g.add("reverb", seconds=0.004, decay=0.4)   # D=192: off != 0
+    out = g.add("output")
+    g.chain(inp, gn, bq, od, lp, hp, dt, ch, rv, out)
+    return g, inp.id, [gn.id, bq.id, od.id, lp.id, hp.id, dt.id, ch.id,
+                       rv.id]
+
+
+def _assert_close_dbfs(got, want, db=-120.0):
+    """Full-scale error bound: fast-policy lowerings of the same math in
+    different fusion contexts differ by FMA-contraction 1-ulp noise
+    (CLAUDE.md), so cross-lowering pins use a -120 dBFS envelope, not
+    bitwise equality."""
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    err = np.abs(got - want).max()
+    den = max(float(np.abs(want).max()), 1e-9)
+    assert 20 * np.log10(max(err, 1e-30) / den) <= db, (err, den)
+
+
+def _render_unfused(g, ext, **kw):
+    """Render with mega fusion structurally disabled (per-node linear
+    fusion still applies, as before round 4)."""
+    orig = compile_mod._plan_mega_fusion
+    compile_mod._plan_mega_fusion = lambda *a, **k: []
+    try:
+        cg = compile_mod.compile_graph(g)
+    finally:
+        compile_mod._plan_mega_fusion = orig
+    return cg.render(ext, **kw)
+
+
+def test_mega_plan_bench_chain():
+    g, _, members = _bench_like_chain()
+    assert _mega_plan_of(g) == [members]
+
+
+def test_mega_plan_rejects_oversampled_and_modded():
+    g = dst.Graph()
+    inp = g.add("input")
+    lp = g.add("low_pass", ratio=0.5)
+    dt = g.add("distort", mode="Tanh", level=2.0, oversample="4")
+    out = g.add("output")
+    g.chain(inp, lp, dt, out)
+    assert _mega_plan_of(g) == []          # oversampled shaper excluded
+
+    g2 = dst.Graph()
+    inp2 = g2.add("input")
+    lfo = g2.add("signal_gen", mode="Sine", frequency=1.0, amplitude=0.5)
+    od = g2.add("overdrive", boost=2.0, drive=0.5, level=0.8)
+    lp2 = g2.add("low_pass", ratio=0.5)
+    out2 = g2.add("output")
+    g2.chain(inp2, od, lp2, out2)
+    g2.connect(lfo, "out", od, "drive")    # modulated member
+    assert _mega_plan_of(g2) == []
+
+
+def test_mega_plan_tap_ends_chain():
+    """An extra consumer on an intermediate ends the mega chain there;
+    the node itself becomes the would-be tail of the upstream chain."""
+    g = dst.Graph()
+    inp = g.add("input")
+    lp = g.add("low_pass", ratio=0.5)
+    dt = g.add("distort", mode="SoftClip", level=2.0)
+    hp = g.add("high_pass", ratio=0.1)
+    rv = g.add("reverb", seconds=0.004, decay=0.3)
+    wv = g.add("wave_view")
+    out = g.add("output")
+    g.chain(inp, lp, dt, hp, rv, out)
+    g.connect(hp, "out", wv, "in")         # tap on hp: chain ends at hp
+    assert _mega_plan_of(g) == [[lp.id, dt.id, hp.id]]
+
+
+def test_mega_plan_pure_linear_or_pure_ew_rejected():
+    g = dst.Graph()
+    inp = g.add("input")
+    lp = g.add("low_pass", ratio=0.5)
+    hp = g.add("high_pass", ratio=0.2)
+    out = g.add("output")
+    g.chain(inp, lp, hp, out)
+    assert _mega_plan_of(g) == []          # pure-linear: cascade planner's
+
+    g2 = dst.Graph()
+    inp2 = g2.add("input")
+    d1 = g2.add("distort", mode="Tanh", level=1.0)
+    d2 = g2.add("chebyshev", level_pos=1.0, level_neg=2.0)
+    out2 = g2.add("output")
+    g2.chain(inp2, d1, d2, out2)
+    assert _mega_plan_of(g2) == []         # stateless: XLA's fusion
+
+
+def test_fused_render_matches_unfused():
+    """The CPU fallback composes the same per-op lowerings the unfused
+    eval uses: fused == unfused to FMA-contraction noise (-120 dBFS),
+    states included."""
+    g, inp_id, _ = _bench_like_chain()
+    rng = np.random.default_rng(0)
+    T = 4096
+    x = (rng.standard_normal((1, T)) * 0.3).astype(np.float32)
+    ext = {str(inp_id): x[0]}
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_f, _, st_f = cg.render(ext)
+        y_u, _, st_u = _render_unfused(g, ext)
+    _assert_close_dbfs(y_f, y_u)
+    import jax
+    for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_u)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=0, atol=2e-6)
+
+
+def test_fused_segmented_state_carry():
+    """Two fused renders chained through state == one fused render: the
+    cascade tail-state rebuild and the comb-ring reconstruction hand off
+    exactly."""
+    g, inp_id, _ = _bench_like_chain()
+    rng = np.random.default_rng(3)
+    T = 4096
+    x = (rng.standard_normal(T) * 0.3).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_full, _, _ = cg.render({str(inp_id): x})
+        cut = 2048
+        y1, _, st = cg.render({str(inp_id): x[:cut]})
+        y2, _, _ = cg.render({str(inp_id): x[cut:]}, state=st)
+    got = np.concatenate([np.asarray(y1)[0], np.asarray(y2)[0]])
+    _assert_close_dbfs(got, np.asarray(y_full)[0])
+
+
+def test_parity_policy_bypasses_mega():
+    """Under parity the mega path deactivates; the per-node f64 eval must
+    still agree with the fast fused render within the policy budget."""
+    g, inp_id, _ = _bench_like_chain()
+    rng = np.random.default_rng(5)
+    T = 2048
+    x = (rng.standard_normal(T) * 0.3).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_f, _, _ = cg.render({str(inp_id): x})
+    with precision.policy("parity"):
+        cg2 = compile_mod.compile_graph(g)
+        y_p, _, _ = cg2.render({str(inp_id): x})
+    err = np.abs(np.asarray(y_f) - np.asarray(y_p)).max()
+    den = max(float(np.abs(np.asarray(y_p)).max()), 1e-9)
+    assert 20 * np.log10(max(err, 1e-30) / den) <= -80.0
+
+
+def test_node_hook_bypasses_mega():
+    """debug_render needs every node's own output: with NODE_HOOK set the
+    mega (and linear) fusion must deactivate and the hook must see all
+    member nodes."""
+    g, inp_id, members = _bench_like_chain()
+    seen = []
+    cg = compile_mod.compile_graph(g)
+    x = np.zeros(512, np.float32)
+    compile_mod.NODE_HOOK = lambda nid, cfg, outs: seen.append(nid)
+    try:
+        with precision.policy("fast"):
+            cg.render({str(inp_id): x})
+    finally:
+        compile_mod.NODE_HOOK = None
+    assert set(members) <= set(seen)
+
+
+@pytest.mark.parametrize("B,T,seconds", [
+    (96, 2560, 0.004),      # B % 128 != 0, K=20 (TB=10), D=192 off=64
+    (64, 2688, 0.008),      # K=21 (TB=7), D=384 off=0
+])
+def test_interpret_kernel_matches_fallback(B, T, seconds, monkeypatch):
+    """The Pallas megakernel (interpret mode) matches the
+    stage-composition fallback through the full compiler to 1-ulp FMA
+    noise, including the batch/time padding paths and state
+    reconstruction."""
+    g = dst.Graph()
+    inp = g.add("input")
+    gn = g.add("gain", level=1.1)
+    lp = g.add("low_pass", ratio=0.55)
+    dt = g.add("distort", mode="SoftClip", level=2.5)
+    bq = g.add("biquad", a0=1.0, a1=-0.3, a2=0.05, b0=0.8, b1=0.1, b2=0.0)
+    rv = g.add("reverb", seconds=seconds, decay=0.45)
+    hp = g.add("high_pass", ratio=0.12)
+    out = g.add("output")
+    g.chain(inp, gn, lp, dt, bq, rv, hp, out)
+    assert _mega_plan_of(g) == [[gn.id, lp.id, dt.id, bq.id, rv.id, hp.id]]
+
+    rng = np.random.default_rng(B + T)
+    x = (rng.standard_normal((B, 1, T)) * 0.3).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_ref, _, st_ref = cg.render(x, batch_shape=(B,))
+
+    monkeypatch.setattr(cs, "_use_kernel", lambda B, T, stages: True)
+    monkeypatch.setattr(pc, "chain_kernel_call",
+                        functools.partial(pc.chain_kernel_call,
+                                          interpret=True))
+    # the custom_vmap cores cache per stage tuple; clear so the
+    # monkeypatched dispatch is retraced
+    cs._segment_core.cache_clear()
+    cs._segment_vjp.cache_clear()
+    cg2 = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_k, _, st_k = cg2.render(x, batch_shape=(B,))
+    cs._segment_core.cache_clear()
+    cs._segment_vjp.cache_clear()
+
+    _assert_close_dbfs(y_k, y_ref)
+
+    import jax
+    leaves_r = jax.tree.leaves(st_ref)
+    leaves_k = jax.tree.leaves(st_k)
+    assert len(leaves_r) == len(leaves_k)
+    for a, b in zip(leaves_k, leaves_r):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=0, atol=2e-6)
+
+
+def test_chain_segment_grad_matches_fallback():
+    """The custom_vjp backward is the fallback's VJP: grads through
+    chain_segment equal grads through segment_fallback."""
+    import jax
+    import jax.numpy as jnp
+    stages = (("cascade", (("gain", 1.2), ("lp", 0.5))),
+              ("ew", "overdrive", (2.0, 0.5, 0.8)),
+              ("comb", 0.4, 192))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(512) * 0.3, jnp.float32)
+    state = (jnp.zeros((1,), jnp.float32), jnp.zeros((192,), jnp.float32))
+
+    def loss_seg(x):
+        y, _, _ = cs.chain_segment(x, stages, state)
+        return jnp.sum(y ** 2)
+
+    def loss_fb(x):
+        y, _, _ = cs.segment_fallback(x, stages, state)
+        return jnp.sum(y ** 2)
+
+    with precision.policy("fast"):
+        g1 = jax.grad(loss_seg)(x)
+        g2 = jax.grad(loss_fb)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
