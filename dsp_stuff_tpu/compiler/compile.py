@@ -704,16 +704,29 @@ def compile_graph(graph: Graph, block_size: int = 128,
         return tapped
 
     def _mega_stages(run, pdict):
-        """(stages, state_specs) for a mega run in ops/chain_segment's
-        stage grammar, or None when this trace cannot fuse it (traced
-        fit overrides or non-concrete params).  Adjacent linear members
-        collapse into shared ``("cascade", sections)`` stages (split at
-        cascade.MAX_RUN_DIM) with the link fan-in scales interleaved as
-        gain sections exactly like _run_sections; scales between
-        non-linear stages accumulate into one ``("scale", s)`` (fast
-        policy only, so the fold's single rounding is in-contract).
+        """(stages, state_specs, head_single, out_fold) for a mega run in
+        ops/chain_segment's stage grammar, or None when this trace cannot
+        fuse it (traced fit overrides or non-concrete params).  Adjacent
+        linear members collapse into shared ``("cascade", sections)``
+        stages (split at cascade.MAX_RUN_DIM) with the link fan-in scales
+        interleaved as gain sections exactly like _run_sections; scales
+        between non-linear stages accumulate into one ``("scale", s)``
+        (fast policy only, so the fold's single rounding is in-contract).
         state_specs parallels the STATEFUL stages in order:
-        ("cascade", sections, stateful_ids) | ("comb", nid)."""
+        ("cascade", sections, stateful_ids) | ("comb", nid).
+
+        Two boundary scale folds keep the kernel's one-read-one-write
+        property end to end (each avoided _avg is a full-signal HBM
+        round-trip, ~2.4 ms at batch 512 x 10 s):
+          * ``head_single`` — the head has exactly one in-link, so its
+            fan-in scale seeds the pending scale (usually folding into
+            the first cascade's gain section) and the eval skips _avg;
+          * ``out_fold`` — the tail's sole consumer is a single-source
+            Output node, so the output's fan-in scale appends as a
+            trailing stage and the output collection reads the published
+            value directly (out_fold is that Output's node id, or None).
+        Both replace the reference's fan-in divide with a multiply by the
+        f32 reciprocal — the documented 1-ulp fast-policy class."""
         from dsp_stuff_tpu.ops.cascade import SECTION_DIMS, MAX_RUN_DIM
         from dsp_stuff_tpu.ops.delay_line import delay_samples
         h = 1.0 / float(_fanin_divisor(1))
@@ -722,7 +735,14 @@ def compile_graph(graph: Graph, block_size: int = 128,
         cur: list = []          # open cascade: (kind, param) sections
         cur_ids: list = []      # stateful member node ids of cur
         cur_dim = 0
-        pend = 1.0              # pending scalar scale before the next stage
+        head_single = len(graph.in_links(run[0], "in")) == 1
+        pend = h if head_single else 1.0   # pending scale before next stage
+        tail_out = [l for l in graph.links if l.src == run[-1]]
+        out_fold = None
+        if (len(tail_out) == 1 and tail_out[0].dst_port == "in"
+                and tail_out[0].dst in output_ids
+                and len(graph.in_links(tail_out[0].dst, "in")) == 1):
+            out_fold = tail_out[0].dst
 
         def concrete(v):
             return isinstance(v, (int, float, np.floating))
@@ -822,13 +842,16 @@ def compile_graph(graph: Graph, block_size: int = 128,
                     stages.append(("ew", f"distort:{node.params['mode']}",
                                    (float(np.float32(lvl)),)))
         close()
+        if out_fold is not None:
+            pend *= h
         flush_scale()
-        return tuple(stages), tuple(specs)
+        return tuple(stages), tuple(specs), head_single, out_fold
 
     def _active_mega(pdict) -> tuple[dict, set]:
-        """(head node id -> (run, stages, specs), non-head member ids)
-        for the mega runs whose dynamic preconditions hold for THIS
-        trace (same gates as _active_fusion)."""
+        """(head node id -> (run, stages, specs, head_single, out_fold),
+        non-head member ids) for the mega runs whose dynamic
+        preconditions hold for THIS trace (same gates as
+        _active_fusion)."""
         from dsp_stuff_tpu.utils import precision
         if (not mega_plan or NODE_HOOK is not None
                 or precision.get_policy().name != "fast"):
@@ -839,8 +862,7 @@ def compile_graph(graph: Graph, block_size: int = 128,
             got = _mega_stages(run, pdict)
             if got is None:
                 continue
-            stages, specs = got
-            heads[run[0]] = (run, stages, specs)
+            heads[run[0]] = (run, *got)
             interior.update(run[1:])
         return heads, interior
 
@@ -932,6 +954,9 @@ def compile_graph(graph: Graph, block_size: int = 128,
         values: dict[tuple[int, str], Any] = {}
         fused_heads, fused_interior = _active_fusion(pdict)
         mega_heads, mega_interior = _active_mega(pdict)
+        # Output-node ids whose fan-in scale a mega run already applied
+        # (its published tail value IS the output signal)
+        mega_out_folds: dict[int, tuple[int, str]] = {}
 
         def port_sources(nid, port, lookup):
             return [lookup(l.src, l.src_port)
@@ -948,10 +973,17 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 if nid in mega_interior or nid in fused_interior:
                     continue                  # evaluated at the run head
                 if nid in mega_heads:
-                    run, stages, specs = mega_heads[nid]
-                    x1, _ = _avg(port_sources(run[0], "in", seq_lookup), T)
+                    run, stages, specs, head_single, out_fold = \
+                        mega_heads[nid]
+                    srcs = port_sources(run[0], "in", seq_lookup)
+                    if head_single:
+                        x1 = srcs[0]   # fan-in scale folded into stages
+                    else:
+                        x1, _ = _avg(srcs, T)
                     values.update(_mega_run_eval(run, stages, specs,
                                                  x1, state))
+                    if out_fold is not None:
+                        mega_out_folds[out_fold] = (run[-1], "out")
                     continue
                 if nid in fused_heads:
                     run, secs, emits, tapped = fused_heads[nid]
@@ -984,6 +1016,9 @@ def compile_graph(graph: Graph, block_size: int = 128,
         # graph outputs: fan-in average into each Output node (output.rs:215-250)
         outs = {}
         for nid in output_ids:
+            if nid in mega_out_folds:
+                outs[nid] = values[mega_out_folds[nid]]
+                continue
             node = nodes[nid]
             sig, _ = _avg(port_sources(nid, "in", seq_lookup), T)
             outs[nid] = sig

@@ -57,7 +57,6 @@ from dsp_stuff_tpu.ops.delay_line import feedback_comb
 #: VMEM budget for comb delay rings inside the megakernel (bytes); combs
 #: beyond it (e.g. a 1 s delay = 48000 samples/stream) fall back
 _RING_VMEM_BYTES = 6 * 1024 * 1024
-_BT = 128          # batch rows per grid step (sublane-tile multiple)
 
 
 def _ew_fn(kind: str):
@@ -116,13 +115,14 @@ def _use_kernel(B: int, T: int, stages) -> bool:
         return False
     if B < 64 or T % 128 or T < 256:
         return False
+    from dsp_stuff_tpu.ops.pallas_chain import BT as bt  # env-tunable
     ring_bytes = 0
     for st in stages:
         if st[0] == "comb":
             D = st[2]
             if D < 128:
                 return False        # intra-block feedback: comb unchunkable
-            ring_bytes += -(-D // 128) * 128 * _BT * 4
+            ring_bytes += -(-D // 128) * 128 * bt * 4
     return ring_bytes <= _RING_VMEM_BYTES
 
 

@@ -39,24 +39,31 @@ from jax.experimental.pallas import tpu as pltpu
 from dsp_stuff_tpu.ops.cascade import _cascade_constants
 from dsp_stuff_tpu.ops.chain_segment import apply_ew
 
-BT = 128       # batch rows per grid step
+import os
+
+BT = int(os.environ.get("DST_MEGA_BT", "128"))   # batch rows per grid step
 C = 128        # samples per sub-block (the compiler's reference frame)
 NS = 8         # padded composite-state lanes (MAX_RUN_DIM embeds <= 8)
+_TB_CAP = int(os.environ.get("DST_MEGA_TB", "16"))
 
 
 def _pick_tb(K: int) -> int:
-    """Sub-blocks per grid step: the largest divisor of K <= 16 (zero
-    time padding), or 16 when K is divisor-poor (pad < TB blocks)."""
-    for tb in range(16, 0, -1):
+    """Sub-blocks per grid step: the largest divisor of K <= the cap
+    (zero time padding), or the cap when K is divisor-poor (pad < TB
+    blocks)."""
+    for tb in range(_TB_CAP, 0, -1):
         if K % tb == 0:
             return tb
-    return 16
+    return _TB_CAP
 
 
 @functools.lru_cache(maxsize=64)
 def _casc_consts(sections: tuple):
-    """(Ltg [C,C], W [C,NS], Ecb [NS,C], ACt [NS,NS]) f32 NumPy for one
-    cascade stage, padded to the NS-lane carry layout."""
+    """(Ltg [C,C], W [C,NS], Ecb [NS,C], ACt [NS,NS], N, l1) f32 NumPy
+    for one cascade stage, padded to the NS-lane carry layout.  N is the
+    embedded carry dim (rows >= N of Ecb/ACt are zero — the kernel's VPU
+    carry loops run over N only); l1 is the Ltg row-l1 for the
+    gemm_precision gate."""
     Ltg, W, E, P, N, B, l1, _ = _cascade_constants(sections, C, ())
     Wp = np.zeros((C, NS), np.float32)
     Wp[:, :N] = W
@@ -64,7 +71,7 @@ def _casc_consts(sections: tuple):
     Ecb[:N, :] = E.T
     ACt = np.zeros((NS, NS), np.float32)
     ACt[:N, :N] = P[C].astype(np.float32).T
-    return Ltg, Wp, Ecb, ACt
+    return Ltg, Wp, Ecb, ACt, N, l1
 
 
 def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
@@ -73,10 +80,15 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
     Ref order: x, [per-cascade: ltg, w, ecb, act, s0], [per-comb: hist],
     then outs: y, [per-cascade: carry_out, xlast_out], [per-comb:
     ring_out], then scratch: [per-cascade: carry], [per-comb: ring]."""
+    from dsp_stuff_tpu.utils.precision import gemm_precision
     cascades = [st for st in stages if st[0] == "cascade"]
     combs = [st for st in stages if st[0] == "comb"]
     n_c = len(cascades)
     n_b = len(combs)
+    # per-cascade (embedded carry dim, l1-gated Ltg GEMM precision) —
+    # trace-time, same gate as linear_cascade's main taps GEMM
+    casc_ngp = [( _casc_consts(st[1])[4], gemm_precision(_casc_consts(st[1])[5]) )
+                for st in cascades]
     j_star = (K - 1) % TB
     comb_geom = []
     for st in combs:
@@ -110,8 +122,33 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                 for m in range(NR):
                     ring_refs[b][m] = hist_refs[b][:, m * C:(m + 1) * C]
 
-        def dot(a, w):
-            return jnp.dot(a, w, preferred_element_type=f32, precision=hi)
+        def dot(a, w, prec=hi):
+            return jnp.dot(a, w, preferred_element_type=f32, precision=prec)
+
+        bf16 = jnp.bfloat16
+
+        def _split(a):
+            a_hi = a.astype(bf16)
+            return a_hi, (a - a_hi.astype(f32)).astype(bf16)
+
+        def dot_bf3(a, w_hi, w_lo):
+            """bf16x3 f32 matmul (what Precision.HIGH lowers to in XLA;
+            Mosaic has no HIGH lowering rule, so spelled out): three
+            native-bf16 MXU passes over the hi/lo mantissa splits, the
+            cross terms accumulated first."""
+            a_hi, a_lo = _split(a)
+            cross = dot(a_hi, w_lo, None) + dot(a_lo, w_hi, None)
+            return cross + dot(a_hi, w_hi, None)
+
+        # hoist the constant-operand bf16 splits of the HIGH-gated
+        # cascade GEMMs out of the sub-block loop (once per grid step)
+        casc_split = []
+        for ci in range(n_c):
+            if casc_ngp[ci][1] == jax.lax.Precision.HIGH:
+                ltg, w = casc_in[4 * ci], casc_in[4 * ci + 1]
+                casc_split.append((_split(ltg[:]), _split(w[:])))
+            else:
+                casc_split.append(None)
 
         for j in range(TB):
             blk = x_ref[:, j * C:(j + 1) * C]
@@ -120,6 +157,7 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
             for st in stages:
                 if st[0] == "cascade":
                     ltg, w, ecb, act = casc_in[4 * ci:4 * ci + 4]
+                    N, gp = casc_ngp[ci]
                     if j == j_star:
                         @pl.when(k == K_steps - 1)
                         def _(blk=blk, ci=ci):
@@ -131,9 +169,29 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                                 ((0, 0), (0, C - NS)))
                             casc_out[2 * ci + 1][:, :] = blk
                     carry = carry_refs[ci][:, :]
-                    y = dot(blk, ltg[:]) + dot(carry, ecb[:])
-                    carry_refs[ci][:, :] = dot(carry, act[:]) \
-                        + dot(blk, w[:])
+                    # y = blk@Ltg + carry@Ecb; carry' = blk@W + carry@ACt.
+                    # The carry terms run as N lane-broadcast VPU FMAs —
+                    # true f32, strictly tighter than an MXU bf16-pass
+                    # matmul, and they skip the 8-lane tile padding that
+                    # wastes 15/16 of the MXU (measured: the original 4
+                    # HIGHEST MXU ops/block were 13.1 ms of a 27 ms
+                    # render).  The two blk GEMMs run bf16x3 when the
+                    # stage's tap l1 passes the gemm_precision gate
+                    # (benign taps measured error-identical, CLAUDE.md),
+                    # HIGHEST otherwise.
+                    sp = casc_split[ci]
+                    if sp is not None:
+                        (l_hi, l_lo), (w_hi, w_lo) = sp
+                        y = dot_bf3(blk, l_hi, l_lo)
+                        newc = dot_bf3(blk, w_hi, w_lo)
+                    else:
+                        y = dot(blk, ltg[:])
+                        newc = dot(blk, w[:])
+                    for jj in range(N):
+                        cj = carry[:, jj:jj + 1]
+                        y = y + cj * ecb[jj:jj + 1, :]
+                        newc = newc + cj * act[jj:jj + 1, :]
+                    carry_refs[ci][:, :] = newc
                     blk = y
                     ci += 1
                 elif st[0] == "scale":
@@ -222,7 +280,7 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
             hp = jnp.pad(hist, ((0, Bp - B), (off, 0)))
             hists.append(hp)
     for st in cascades:
-        Ltg, Wp, Ecb, ACt = _casc_consts(st[1])
+        Ltg, Wp, Ecb, ACt, _, _ = _casc_consts(st[1])
         ops += [jnp.asarray(Ltg), jnp.asarray(Wp), jnp.asarray(Ecb),
                 jnp.asarray(ACt)]
         in_specs += [const_spec((C, C)), const_spec((C, NS)),
