@@ -380,9 +380,12 @@ def _batched_metric(jax, dst, precision, rng):
     S, Tb = 128, SR * 10
     g5, meta5 = config5_feedback_16node()
     xb = (rng.standard_normal((S, Tb)) * 0.2).astype(np.float32)
+    # n_chain=16: at 5 the one ~27 ms host fetch was ~5 ms/render of
+    # tunnel floor inside the reported number (same protocol fix as the
+    # r3 mono-config N_CHAIN lift — report the engine, not the tunnel)
     best5, by = _time_chained_renders(g5, {str(meta5["input"]): xb},
-                                      batch=S, n_chain=5)
-    return (S * (Tb / SR) * 5) / best5, _gbps(by, best5)
+                                      batch=S, n_chain=16)
+    return (S * (Tb / SR) * 16) / best5, _gbps(by, best5)
 
 
 def _config_metric(name: str, rng):
@@ -416,8 +419,13 @@ def _max_throughput_metric(rng):
     g, inp_id = build_chain()
     T = SR * 10
     x = (rng.standard_normal((B, T)) * 0.25).astype(np.float32)
-    best, by = _time_chained_renders(g, {str(inp_id): x}, batch=B, n_chain=4)
-    return B * (T / SR) * 4 / best, _gbps(by, best)
+    # n_chain=16: at 4 the one ~27 ms host fetch was ~6.8 ms/render of
+    # tunnel floor inside the reported number — after the chain
+    # megakernel the whole render is ~8 ms, so the old count was
+    # reporting half tunnel
+    best, by = _time_chained_renders(g, {str(inp_id): x}, batch=B,
+                                     n_chain=16)
+    return B * (T / SR) * 16 / best, _gbps(by, best)
 
 
 def _accuracy_metric(jax, dst, precision, g, inp_id, x):
