@@ -15,7 +15,11 @@ steps and a [BT, 128] block flows through ALL stages while resident:
               y = x + d*delayed ; ring[slot(b)] = y
 
 The whole segment costs one signal read + one write; everything else
-(tap matrices, carries, rings) stays on-chip.  State handoff for the
+(tap matrices, carries, rings) stays on-chip.  Measured at batch 512 x
+10 s on v5e (fetch-corrected): the kernel's DMA floor is ~2.4 ms — the
+pure in+out HBM speed of light — with cascades +3.9 ms (two bf16x3 MXU
+GEMMs per 128-block; the carry algebra rides the VPU), shapers +1.5 ms
+and the comb +0.9 ms hiding mostly under the DMA.  State handoff for the
 compiler's per-node rebuild: at the last REAL block each cascade stage
 emits (carry entering it, its input block) and each comb emits its ring
 (ops/chain_segment.py reconstructs s_tm1/s_tm2 and the [D] history).
@@ -174,8 +178,9 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                     # true f32, strictly tighter than an MXU bf16-pass
                     # matmul, and they skip the 8-lane tile padding that
                     # wastes 15/16 of the MXU (measured: the original 4
-                    # HIGHEST MXU ops/block were 13.1 ms of a 27 ms
-                    # render).  The two blk GEMMs run bf16x3 when the
+                    # HIGHEST MXU ops/block were 13.1 of the ~20 ms
+                    # fetch-corrected render, now 3.9).  The two blk
+                    # GEMMs run bf16x3 when the
                     # stage's tap l1 passes the gemm_precision gate
                     # (benign taps measured error-identical, CLAUDE.md),
                     # HIGHEST otherwise.

@@ -118,7 +118,11 @@ def safe_transcendentals():
 
 #: jnp function -> Mosaic-safe replacement (consulted by shaping._trans).
 #: Probed on v5e (2026-08, jaxlib in this image): tanh/sin/exp/log/sqrt/
-#: logistic lower natively AND bit-match the XLA kernels (maxdiff 0.0),
-#: so only atan needs the substitution; the tanh/sin fallbacks above are
-#: kept for future jaxlib regressions.
-SAFE = {"arctan": atan}
+#: logistic lower natively AND bit-match the XLA kernels (maxdiff 0.0);
+#: atan has no lowering rule at all.  sin substitutes for SPEED, not
+#: necessity: the native Mosaic sin measured ~3.9 ms per batch-512 x
+#: 10 s pass in the chain megakernel vs ~0.9 ms for the quadrant-
+#: reduction polynomial (fetch-corrected; the whole kernel floor is
+#: 2.4 ms).  tanh native measured at the DMA floor already — kept
+#: native for the bit-match.
+SAFE = {"arctan": atan, "sin": sin}

@@ -210,11 +210,14 @@ def test_node_hook_bypasses_mega():
     assert set(members) <= set(seen)
 
 
-@pytest.mark.parametrize("B,T,seconds", [
-    (96, 2560, 0.004),      # B % 128 != 0, K=20 (TB=10), D=192 off=64
-    (64, 2688, 0.008),      # K=21 (TB=7), D=384 off=0
+@pytest.mark.parametrize("B,T,seconds,mode", [
+    (96, 2560, 0.004, "SoftClip"),  # B % 128 != 0, K=20 (TB=10), D=192
+    (64, 2688, 0.008, "Sin"),       # K=21 (TB=7), D=384 off=0; Sin
+                                    # exercises the pallas_math poly
+                                    # substitution (-129 dBFS vs f64)
 ])
-def test_interpret_kernel_matches_fallback(B, T, seconds, monkeypatch):
+def test_interpret_kernel_matches_fallback(B, T, seconds, mode,
+                                           monkeypatch):
     """The Pallas megakernel (interpret mode) matches the
     stage-composition fallback through the full compiler to 1-ulp FMA
     noise, including the batch/time padding paths and state
@@ -223,7 +226,7 @@ def test_interpret_kernel_matches_fallback(B, T, seconds, monkeypatch):
     inp = g.add("input")
     gn = g.add("gain", level=1.1)
     lp = g.add("low_pass", ratio=0.55)
-    dt = g.add("distort", mode="SoftClip", level=2.5)
+    dt = g.add("distort", mode=mode, level=2.5)
     bq = g.add("biquad", a0=1.0, a1=-0.3, a2=0.05, b0=0.8, b1=0.1, b2=0.0)
     rv = g.add("reverb", seconds=seconds, decay=0.45)
     hp = g.add("high_pass", ratio=0.12)
