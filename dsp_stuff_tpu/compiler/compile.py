@@ -330,6 +330,10 @@ def _active_nodes(graph: Graph) -> set[int]:
 _LINEAR_KINDS = {"gain": "gain", "low_pass": "lp", "high_pass": "hp",
                  "biquad": "bq"}
 
+#: structural switch for the feedback-cycle mega path (tests flip it to
+#: pin the fused render against the per-node cycle scan)
+CYCLE_FUSION = True
+
 #: stateless elementwise node types fusable into a chain segment
 #: (ops/chain_segment.py) between linear runs
 _EW_KINDS = ("distort", "overdrive", "chebyshev")
@@ -900,6 +904,245 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 hi += 1
         return {(run[-1], "out"): y}
 
+    _CYCLE_EW = ("distort", "overdrive", "chebyshev")
+
+    def _cycle_program(comp, pdict):
+        """Lower a feedback SCC to the ops/cycle_segment block program,
+        or None when any member (or this trace) cannot.
+
+        Members evaluate in ascending-id order exactly like the cycle
+        scan; every member output read by another member flows through a
+        REGISTER (read-before-write gives back edges the previous
+        block's value — the reference's one-block feedback latency),
+        every output read outside the SCC is TAPPED as a full sequence.
+        Contiguous-in-order linear members connected by sole links fold
+        into one cascade stage (MAX_RUN_DIM splits), interleaving the
+        link fan-in scales as gain sections — the same composition as
+        the in-cycle fused runs this path supersedes.  Fan-in divides
+        become multiplies by the f32 reciprocal (fast-only, documented
+        1-ulp class).  Returns (program, ext_keys, reg_ports, tap_ports,
+        state_specs) with state_specs in PROGRAM order:
+        ("cascade", sections, stateful_ids) | ("comb", nid)."""
+        from dsp_stuff_tpu.ops.cascade import SECTION_DIMS, MAX_RUN_DIM
+        from dsp_stuff_tpu.ops.delay_line import delay_samples
+        if block_size != 128:
+            return None        # kernel/interpreter block frame is 128
+        order = sorted(comp)
+        comp_set = set(order)
+
+        def concrete(v):
+            return isinstance(v, (int, float, np.floating))
+
+        ports_of = {}
+        for nid in order:
+            node = nodes[nid]
+            cn = node.cfg_name
+            if str(nid) in (pdict or {}):
+                return None
+            if cn in ("add", "mix"):
+                ports_of[nid] = ("a", "b")
+            elif (cn in _LINEAR_KINDS or cn == "reverb"
+                  or cn in _CYCLE_EW):
+                if cn in ("distort", "overdrive") and str(
+                        node.params.get("oversample", "1")) != "1":
+                    return None
+                ports_of[nid] = ("in",)
+            else:
+                return None
+            if cn == "mix" and not concrete(node.params["ratio"]):
+                return None
+
+        in_links: dict[tuple[int, str], list] = {}
+        out_links: dict[int, list] = {}
+        for l in graph.links:
+            if l.dst in comp_set:
+                if l.dst_port not in ports_of[l.dst]:
+                    return None        # modulated member: scan path
+                in_links.setdefault((l.dst, l.dst_port), []).append(l)
+            if l.src in comp_set:
+                out_links.setdefault(l.src, []).append(l)
+
+        # linear grouping: member i absorbs the NEXT member in order when
+        # both are linear, the link between them is i's only out-link and
+        # the next's only source, and the composite dim fits the cap
+        def sections_of(nid):
+            node = nodes[nid]
+            kind = _LINEAR_KINDS[node.cfg_name]
+            if kind == "gain":
+                lvl = node.params["level"]
+                return None if not concrete(lvl) else \
+                    ("gain", float(np.float32(lvl))), 0, ()
+            if kind in ("lp", "hp"):
+                r = node.params["ratio"]
+                return None if not concrete(r) else \
+                    (kind, float(r)), 1, (nid,)
+            raw = [node.params[k]
+                   for k in ("a0", "a1", "a2", "b0", "b1", "b2")]
+            if not all(concrete(v) for v in raw):
+                return None
+            a0 = np.float32(raw[0])
+            return ("bq", tuple(float(np.float32(np.float32(v) / a0))
+                                for v in raw[1:])), 2, (nid,)
+
+        h1 = 1.0 / float(_fanin_divisor(1))
+        units = []            # (members, port_terms builder deferred)
+        i = 0
+        while i < len(order):
+            nid = order[i]
+            members = [nid]
+            if nodes[nid].cfg_name in _LINEAR_KINDS:
+                dim = SECTION_DIMS[_LINEAR_KINDS[nodes[nid].cfg_name]]
+                j = i
+                while j + 1 < len(order):
+                    nxt = order[j + 1]
+                    ls = out_links.get(order[j], [])
+                    if (nodes[nxt].cfg_name in _LINEAR_KINDS
+                            and len(ls) == 1 and ls[0].dst == nxt
+                            and ls[0].dst_port == "in"
+                            and len(in_links.get((nxt, "in"), [])) == 1):
+                        d2 = SECTION_DIMS[_LINEAR_KINDS[nodes[nxt].cfg_name]]
+                        if dim + d2 > MAX_RUN_DIM:
+                            break
+                        members.append(nxt)
+                        dim += d2
+                        j += 1
+                    else:
+                        break
+                i = j + 1
+            else:
+                i += 1
+            units.append(members)
+
+        # registers for unit-tail ports read by members; taps for ports
+        # read outside
+        reg_of: dict[tuple[int, str], int] = {}
+        tap_of: dict[tuple[int, str], int] = {}
+        reg_ports: list = []
+        tap_ports: list = []
+        for members in units:
+            tail = members[-1]
+            for port in nodes[tail].spec.outputs:
+                kp = (tail, port)
+                ls = [l for l in out_links.get(tail, [])
+                      if l.src_port == port]
+                if any(l.dst in comp_set for l in ls):
+                    reg_of[kp] = len(reg_ports)
+                    reg_ports.append(kp)
+                if any(l.dst not in comp_set for l in ls):
+                    tap_of[kp] = len(tap_ports)
+                    tap_ports.append(kp)
+
+        ext_keys: list = []
+        ext_of: dict = {}
+
+        def term_for(l):
+            key = (l.src, l.src_port)
+            if l.src in comp_set:
+                if key not in reg_of:
+                    return None        # non-tail member port (grouped
+                                       # interior read) — planner bug
+                                       # guard; cannot happen by const.
+                return ("reg", reg_of[key])
+            if key not in ext_of:
+                ext_of[key] = len(ext_keys)
+                ext_keys.append(key)
+            return ("ext", ext_of[key])
+
+        def port_join(nid, port):
+            ls = in_links.get((nid, port), [])
+            terms = []
+            for l in ls:
+                t = term_for(l)
+                if t is None:
+                    return None
+                terms.append(t)
+            return tuple(terms), 1.0 / float(_fanin_divisor(len(ls)))
+
+        program: list = []
+        specs: list = []
+        for members in units:
+            head = members[0]
+            node = nodes[head]
+            cn = node.cfg_name
+            if cn in ("add", "mix"):
+                ja = port_join(head, "a")
+                jb = port_join(head, "b")
+                if ja is None or jb is None:
+                    return None
+                if cn == "add":
+                    cA = cB = 1.0
+                else:
+                    r = np.float32(node.params["ratio"])
+                    cA, cB = float(np.float32(1.0) - r), float(r)
+                program.append(("lin2", ja[0], ja[1], jb[0], jb[1],
+                                cA, cB))
+            else:
+                j = port_join(head, "in")
+                if j is None:
+                    return None
+                program.append(("join", j[0], j[1]))
+                if cn == "reverb":
+                    dec = node.params["decay"]
+                    sec = node.params["seconds"]
+                    if not (concrete(dec) and concrete(sec)):
+                        return None
+                    D = delay_samples(float(sec))
+                    program.append(("comb", float(np.float32(dec)),
+                                    int(D), sum(1 for s in specs
+                                                if s[0] == "comb")))
+                    specs.append(("comb", head))
+                elif cn in _CYCLE_EW:
+                    if cn == "overdrive":
+                        ps = [node.params[k]
+                              for k in ("boost", "drive", "level")]
+                        kind = "overdrive"
+                    elif cn == "chebyshev":
+                        ps = [node.params[k]
+                              for k in ("level_pos", "level_neg")]
+                        kind = "chebyshev"
+                    else:
+                        ps = [node.params["level"]]
+                        kind = f"distort:{node.params['mode']}"
+                    if not all(concrete(v) for v in ps):
+                        return None
+                    program.append(("ew", kind,
+                                    tuple(float(np.float32(v))
+                                          for v in ps)))
+                else:                  # linear unit (1..k members)
+                    secs = []
+                    ids = []
+                    dim = 0
+                    for m_i, m in enumerate(members):
+                        got = sections_of(m)
+                        if got is None:
+                            return None
+                        sec, d, sids = got
+                        if m_i:
+                            secs.append(("gain", h1))
+                        secs.append(sec)
+                        ids.extend(sids)
+                        dim += d
+                    if dim == 0:
+                        for _, v in secs:
+                            program.append(("scale", float(v)))
+                    else:
+                        program.append(("cascade", tuple(secs),
+                                        sum(1 for s in specs
+                                            if s[0] == "cascade")))
+                        specs.append(("cascade", tuple(secs),
+                                      tuple(ids)))
+            tail = members[-1]
+            for port in nodes[tail].spec.outputs:
+                kp = (tail, port)
+                if kp in reg_of:
+                    program.append(("setreg", reg_of[kp]))
+                if kp in tap_of:
+                    program.append(("tap", tap_of[kp]))
+        if not ext_keys:
+            return None        # self-oscillator: length unknown to the op
+        return (tuple(program), tuple(ext_keys), tuple(reg_ports),
+                tuple(tap_ports), tuple(specs))
+
     def _active_fusion(pdict) -> tuple[dict, set]:
         """(head node id -> (run, sections, emits, tapped), non-head
         member ids) for the runs whose dynamic preconditions hold for
@@ -1081,6 +1324,58 @@ def compile_graph(graph: Graph, block_size: int = 128,
         B = block_size
         assert T % B == 0
         nb = T // B
+
+        # cycle mega path: when every member lowers to the block program
+        # (and the dynamic gates hold), the whole SCC evaluates as ONE
+        # ops/cycle_segment — the Pallas cycle kernel on TPU at batch,
+        # an unrolled scan interpreter elsewhere — instead of the
+        # per-node scan below
+        from dsp_stuff_tpu.utils import precision as _prec
+        if (CYCLE_FUSION and NODE_HOOK is None
+                and _prec.get_policy().name == "fast"):
+            planned = _cycle_program(comp, pdict)
+            if planned is not None:
+                program, ext_keys, reg_ports, tap_ports, cspecs = planned
+                from dsp_stuff_tpu.ops import cascade as _casc
+                from dsp_stuff_tpu.ops.cycle_segment import cycle_segment
+                ckey = _cycle_key(comp)
+                exts = tuple(values[k] for k in ext_keys)
+                regs0 = tuple(state[ckey][f"{kp[0]}:{kp[1]}"]
+                              for kp in reg_ports)
+                st_in = []
+                for sp in cspecs:
+                    if sp[0] == "cascade":
+                        st_in.append(_casc.cascade_state_in(
+                            sp[1], [state[str(n)] for n in sp[2]]))
+                    else:
+                        nst = state[str(sp[1])]
+                        st_in.append(jnp.roll(nst["ring"], -nst["pos"],
+                                              axis=-1))
+                taps, regs_f, cinfos, hists = cycle_segment(
+                    exts, regs0, tuple(st_in), program, len(tap_ports))
+                ci = hi = 0
+                for sp in cspecs:
+                    if sp[0] == "cascade":
+                        s1, s2, x1, x2 = cinfos[ci]
+                        ci += 1
+                        for n, ns in zip(sp[2], _casc.cascade_state_out(
+                                sp[1], s1, s2, x1, x2)):
+                            state[str(n)] = ns
+                    else:
+                        state[str(sp[1])] = {"ring": hists[hi],
+                                             "pos": jnp.int32(0)}
+                        hi += 1
+                newprev = dict(state[ckey])
+                reg_set = set(reg_ports)
+                for kp, r in zip(reg_ports, regs_f):
+                    newprev[f"{kp[0]}:{kp[1]}"] = r
+                for kp, tseq in zip(tap_ports, taps):
+                    values[kp] = tseq
+                    if kp not in reg_set:
+                        newprev[f"{kp[0]}:{kp[1]}"] = tseq[..., -B:]
+                state[ckey] = newprev
+                return
+
         order = sorted(comp)
         pos = {nid: i for i, nid in enumerate(order)}
 
