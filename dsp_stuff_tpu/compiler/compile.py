@@ -344,17 +344,22 @@ _MEGA_STATEFUL = ("low_pass", "high_pass", "biquad", "reverb")
 
 def _plan_mega_fusion(graph: Graph, nodes: dict, sccs) -> list:
     """Maximal ACYCLIC chains of mega-fusable nodes (the linear kinds +
-    distort/overdrive/chebyshev at base rate + reverb) joined by strict
-    sole-consumer links, evaluated as ONE ops/chain_segment (the Pallas
-    megakernel on TPU at batch: one signal read + one write across the
-    whole run; elsewhere an equivalent stage composition).
+    distort/overdrive/chebyshev at base rate + reverb) joined by chain
+    links, evaluated as ONE ops/chain_segment (the Pallas megakernel on
+    TPU at batch: one signal read + one write across the whole run;
+    elsewhere an equivalent stage composition).
 
-    A node with extra consumers ends its chain (it becomes the tail,
-    whose output the segment publishes) — chain segments do not emit
-    intermediate taps; the linear-run planner, which does, picks up any
-    leftover linear adjacencies outside these runs.  A run must have
-    >= 2 nodes, >= 1 stateful member and >= 1 non-linear member
-    (pure-linear runs belong to _plan_linear_fusion's richer handling,
+    The chain joint out of a member is the ONE out-link into another
+    mega-fusable node's sole-source "in" port (two distinct candidates
+    would make the chain ambiguous — none is taken, mirroring
+    _plan_linear_fusion's sole_joint).  Extra consumers of a member's
+    output (analysis sinks, second outputs, modulation targets outside
+    the run) no longer end the chain: the segment EMITS that
+    intermediate with a ("tap", ti) stage — the reference's fan-out
+    duplication (node.rs:321-325) — so a mid-chain wave_view no longer
+    costs a full extra HBM round-trip at batch.  A run must have >= 2
+    nodes, >= 1 stateful member and >= 1 non-linear member (pure-linear
+    runs belong to _plan_linear_fusion's richer handling,
     pure-elementwise ones to XLA fusion)."""
     cyclic = set()
     for comp in sccs:
@@ -385,14 +390,14 @@ def _plan_mega_fusion(graph: Graph, nodes: dict, sccs) -> list:
     for nid in nodes:
         if not mega_ok(nid):
             continue
-        ls = out_links.get(nid, [])
-        if len(ls) != 1:
-            continue
-        l = ls[0]
-        if (l.dst_port == "in" and l.dst != nid
-                and len(graph.in_links(l.dst, "in")) == 1
-                and mega_ok(l.dst)):
-            nxt[nid] = l.dst
+        joints = []
+        for l in out_links.get(nid, []):
+            if (l.dst_port == "in" and l.dst != nid
+                    and len(graph.in_links(l.dst, "in")) == 1
+                    and mega_ok(l.dst)):
+                joints.append(l.dst)
+        if len(joints) == 1:
+            nxt[nid] = joints[0]
 
     runs = []
     targets = set(nxt.values())
@@ -708,16 +713,24 @@ def compile_graph(graph: Graph, block_size: int = 128,
         return tapped
 
     def _mega_stages(run, pdict):
-        """(stages, state_specs, head_single, out_fold) for a mega run in
-        ops/chain_segment's stage grammar, or None when this trace cannot
-        fuse it (traced fit overrides or non-concrete params).  Adjacent
-        linear members collapse into shared ``("cascade", sections)``
-        stages (split at cascade.MAX_RUN_DIM) with the link fan-in scales
-        interleaved as gain sections exactly like _run_sections; scales
-        between non-linear stages accumulate into one ``("scale", s)``
-        (fast policy only, so the fold's single rounding is in-contract).
-        state_specs parallels the STATEFUL stages in order:
+        """(stages, state_specs, head_single, out_fold, tapped) for a
+        mega run in ops/chain_segment's stage grammar, or None when this
+        trace cannot fuse it (traced fit overrides or non-concrete
+        params).  Adjacent linear members collapse into shared
+        ``("cascade", sections)`` stages (split at cascade.MAX_RUN_DIM)
+        with the link fan-in scales interleaved as gain sections exactly
+        like _run_sections; scales between non-linear stages accumulate
+        into one ``("scale", s)`` (fast policy only, so the fold's
+        single rounding is in-contract).  state_specs parallels the
+        STATEFUL stages in order:
         ("cascade", sections, stateful_ids) | ("comb", nid).
+
+        ``tapped`` lists the non-tail members whose output has consumers
+        besides the chain joint, in ("tap", ti) index order: the open
+        cascade closes at a tapped linear member's section (the tap
+        point must be the node's own output, so the composite solve
+        splits there) and a ("tap", ti) stage emits the flow — the
+        segment publishes it like a normal node output.
 
         Two boundary scale folds keep the kernel's one-read-one-write
         property end to end (each avoided _avg is a full-signal HBM
@@ -769,6 +782,15 @@ def compile_graph(graph: Graph, block_size: int = 128,
             if pend != 1.0:
                 stages.append(("scale", float(np.float32(pend))))
                 pend = 1.0
+
+        # members with consumers besides the chain joint: emitted taps
+        # (any member->member link is the joint — members accept links
+        # only on their sole-source "in")
+        internal = set(zip(run[:-1], run[1:]))
+        tap_set = {n for n in run[:-1]
+                   if any(l.src == n and (n, l.dst) not in internal
+                          for l in graph.links)}
+        tapped: list[int] = []
 
         for i, nid in enumerate(run):
             if str(nid) in (pdict or {}):
@@ -845,15 +867,24 @@ def compile_graph(graph: Graph, block_size: int = 128,
                     flush_scale()
                     stages.append(("ew", f"distort:{node.params['mode']}",
                                    (float(np.float32(lvl)),)))
+            if nid in tap_set:
+                # the tap point is the node's OWN output: close the open
+                # cascade (splitting the composite solve there) and flush
+                # any folded scale before emitting
+                close()
+                flush_scale()
+                stages.append(("tap", len(tapped)))
+                tapped.append(nid)
         close()
         if out_fold is not None:
             pend *= h
         flush_scale()
-        return tuple(stages), tuple(specs), head_single, out_fold
+        return (tuple(stages), tuple(specs), head_single, out_fold,
+                tuple(tapped))
 
     def _active_mega(pdict) -> tuple[dict, set]:
-        """(head node id -> (run, stages, specs, head_single, out_fold),
-        non-head member ids) for the mega runs whose dynamic
+        """(head node id -> (run, stages, specs, head_single, out_fold,
+        tapped), non-head member ids) for the mega runs whose dynamic
         preconditions hold for THIS trace (same gates as
         _active_fusion)."""
         from dsp_stuff_tpu.utils import precision
@@ -870,11 +901,11 @@ def compile_graph(graph: Graph, block_size: int = 128,
             interior.update(run[1:])
         return heads, interior
 
-    def _mega_run_eval(run, stages, specs, x1, st):
+    def _mega_run_eval(run, stages, specs, tapped, x1, st):
         """Evaluate a mega run over its head input ``x1`` [..., T] as one
         ops/chain_segment, updating the member states in ``st``; returns
-        {(tail, "out"): y} (mega runs have no tapped intermediates --
-        the planner ends a chain at any extra consumer)."""
+        {(nid, "out"): signal} for the tail and every tapped
+        intermediate (("tap", ti) stages, index order == ``tapped``)."""
         from dsp_stuff_tpu.ops import cascade
         from dsp_stuff_tpu.ops.chain_segment import chain_segment
         state_in = []
@@ -888,7 +919,8 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 # canonicalize the reverb ring oldest-first (pos from a
                 # prior block-path render may be nonzero)
                 state_in.append(jnp.roll(nst["ring"], -nst["pos"], axis=-1))
-        y, cinfos, hists = chain_segment(x1, stages, tuple(state_in))
+        y, cinfos, hists, tap_sigs = chain_segment(x1, stages,
+                                                   tuple(state_in))
         ci = hi = 0
         for sp in specs:
             if sp[0] == "cascade":
@@ -902,7 +934,10 @@ def compile_graph(graph: Graph, block_size: int = 128,
             else:
                 st[str(sp[1])] = {"ring": hists[hi], "pos": jnp.int32(0)}
                 hi += 1
-        return {(run[-1], "out"): y}
+        out = {(run[-1], "out"): y}
+        for n, sig in zip(tapped, tap_sigs):
+            out[(n, "out")] = sig
+        return out
 
     _CYCLE_EW = ("distort", "overdrive", "chebyshev")
 
@@ -1216,7 +1251,7 @@ def compile_graph(graph: Graph, block_size: int = 128,
                 if nid in mega_interior or nid in fused_interior:
                     continue                  # evaluated at the run head
                 if nid in mega_heads:
-                    run, stages, specs, head_single, out_fold = \
+                    run, stages, specs, head_single, out_fold, tapped = \
                         mega_heads[nid]
                     srcs = port_sources(run[0], "in", seq_lookup)
                     if head_single:
@@ -1224,7 +1259,7 @@ def compile_graph(graph: Graph, block_size: int = 128,
                     else:
                         x1, _ = _avg(srcs, T)
                     values.update(_mega_run_eval(run, stages, specs,
-                                                 x1, state))
+                                                 tapped, x1, state))
                     if out_fold is not None:
                         mega_out_folds[out_fold] = (run[-1], "out")
                     continue

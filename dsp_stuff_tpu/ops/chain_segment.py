@@ -23,13 +23,21 @@ Stage descriptors (static tuples; the compiler builds them in
     ("comb", decay, D)        -- feedback comb y[n] = x[n] + d*y[n-D]
                                  (reverb.rs:87-105); state: history
                                  [..., D] (newest last)
+    ("tap", ti)               -- emit the current flow as output
+                                 sequence ti (an intermediate node
+                                 output with extra consumers — the
+                                 reference's fan-out duplication,
+                                 node.rs:321-325; a mid-chain tap no
+                                 longer splits the segment into two
+                                 HBM passes)
 
 ``chain_segment(x, stages, state_in)`` returns
-``(y, cascade_infos, comb_hists)``:
+``(y, cascade_infos, comb_hists, taps)``:
 
     cascade_infos -- per cascade stage (s_tm1, s_tm2, x_tm1, x_tm2),
                      everything ops/cascade.cascade_state_out needs;
-    comb_hists    -- per comb stage the new [..., D] history.
+    comb_hists    -- per comb stage the new [..., D] history;
+    taps          -- tuple of [..., T] emitted sequences, tap order.
 
 Dispatch: the unbatched call and every non-TPU / small-batch case run
 the FALLBACK -- a stage-by-stage composition of the existing lowerings
@@ -88,6 +96,8 @@ def segment_fallback(x, stages: tuple, state_in: tuple):
     si = 0
     cinfos = []
     hists = []
+    n_t = sum(1 for st in stages if st[0] == "tap")
+    taps = [None] * n_t
     for st in stages:
         if st[0] == "cascade":
             s0 = state_in[si]
@@ -104,9 +114,11 @@ def segment_fallback(x, stages: tuple, state_in: tuple):
             si += 1
             v, nh = feedback_comb(v, st[1], st[2], hist)
             hists.append(nh)
+        elif st[0] == "tap":
+            taps[st[1]] = v
         else:
             raise ValueError(f"unknown stage {st[0]!r}")
-    return v, tuple(cinfos), tuple(hists)
+    return v, tuple(cinfos), tuple(hists), tuple(taps)
 
 
 def _use_kernel(B: int, T: int, stages) -> bool:
@@ -132,7 +144,7 @@ def _segment_batched(x, stages: tuple, state_in: tuple):
     if not _use_kernel(B, T, stages):
         return segment_fallback(x, stages, state_in)
     from dsp_stuff_tpu.ops.pallas_chain import chain_kernel_call
-    y, casc_raw, ring_raw = chain_kernel_call(x, stages, state_in)
+    y, casc_raw, ring_raw, taps = chain_kernel_call(x, stages, state_in)
     # host-side state reconstruction (tiny reads)
     cinfos = []
     ci = 0
@@ -156,7 +168,7 @@ def _segment_batched(x, stages: tuple, state_in: tuple):
             lin = jnp.roll(ring, -s_old, axis=-2).reshape(*ring.shape[:-2],
                                                           NR * 128)
             hists.append(lin[..., -D:])
-    return y, tuple(cinfos), tuple(hists)
+    return y, tuple(cinfos), tuple(hists), taps
 
 
 @functools.lru_cache(maxsize=64)

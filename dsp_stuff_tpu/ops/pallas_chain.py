@@ -82,13 +82,15 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
     """Kernel closure for a static stage list.
 
     Ref order: x, [per-cascade: ltg, w, ecb, act, s0], [per-comb: hist],
-    then outs: y, [per-cascade: carry_out, xlast_out], [per-comb:
-    ring_out], then scratch: [per-cascade: carry], [per-comb: ring]."""
+    then outs: y, [tap x n_t], [per-cascade: carry_out, xlast_out],
+    [per-comb: ring_out], then scratch: [per-cascade: carry],
+    [per-comb: ring]."""
     from dsp_stuff_tpu.utils.precision import gemm_precision
     cascades = [st for st in stages if st[0] == "cascade"]
     combs = [st for st in stages if st[0] == "comb"]
     n_c = len(cascades)
     n_b = len(combs)
+    n_t = sum(1 for st in stages if st[0] == "tap")
     # per-cascade (embedded carry dim, l1-gated Ltg GEMM precision) —
     # trace-time, same gate as linear_cascade's main taps GEMM
     casc_ngp = [( _casc_consts(st[1])[4], gemm_precision(_casc_consts(st[1])[5]) )
@@ -107,9 +109,11 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
         hist_refs = refs[1 + 5 * n_c:1 + 5 * n_c + n_b]
         o = 1 + 5 * n_c + n_b
         y_ref = refs[o]
-        casc_out = refs[o + 1:o + 1 + 2 * n_c]
-        ring_outs = refs[o + 1 + 2 * n_c:o + 1 + 2 * n_c + n_b]
-        s = o + 1 + 2 * n_c + n_b
+        tap_refs = refs[o + 1:o + 1 + n_t]
+        o = o + 1 + n_t
+        casc_out = refs[o:o + 2 * n_c]
+        ring_outs = refs[o + 2 * n_c:o + 2 * n_c + n_b]
+        s = o + 2 * n_c + n_b
         carry_refs = refs[s:s + n_c]
         ring_refs = refs[s + n_c:s + n_c + n_b]
 
@@ -203,6 +207,8 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                     blk = blk * f32(st[1])
                 elif st[0] == "ew":
                     blk = apply_ew(st[1], blk, st[2])
+                elif st[0] == "tap":
+                    tap_refs[st[1]][:, j * C:(j + 1) * C] = blk
                 else:                                   # comb
                     NR, off, decay = comb_geom[bi]
                     b_idx = k * TB + j
@@ -243,7 +249,8 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
                       interpret: bool = False):
     """x [B, T] (T % 128 == 0) -> (y [B, T],
     per-cascade (carry_last [B, NS], x_last [B, C]),
-    per-comb ring [B, NR, C])."""
+    per-comb ring [B, NR, C],
+    per-tap emitted sequence [B, T])."""
     f32 = jnp.float32
     x = jnp.asarray(x, f32)
     B, T = x.shape
@@ -257,6 +264,7 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
     cascades = [st for st in stages if st[0] == "cascade"]
     combs = [st for st in stages if st[0] == "comb"]
     n_c, n_b = len(cascades), len(combs)
+    n_t = sum(1 for st in stages if st[0] == "tap")
 
     # operands: per-cascade constants + padded initial states, per-comb
     # padded history blocks
@@ -300,9 +308,10 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
         in_specs.append(pl.BlockSpec((BT, NRC), lambda i, k: (i, 0),
                                      memory_space=pltpu.VMEM))
 
-    out_specs = [pl.BlockSpec((BT, TB * C), lambda i, k: (i, k),
-                              memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((Bp, Tp), f32)]
+    seq_spec = pl.BlockSpec((BT, TB * C), lambda i, k: (i, k),
+                            memory_space=pltpu.VMEM)
+    out_specs = [seq_spec] * (1 + n_t)
+    out_shape = [jax.ShapeDtypeStruct((Bp, Tp), f32)] * (1 + n_t)
     for _ in cascades:
         for _k in range(2):
             out_specs.append(pl.BlockSpec((BT, C), lambda i, k: (i, 0),
@@ -331,10 +340,12 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
         )(*ops)
 
     y = outs[0][:B, :T]
+    taps = tuple(outs[1 + t][:B, :T] for t in range(n_t))
+    o = 1 + n_t
     casc_raw = []
     for c in range(n_c):
-        carry = outs[1 + 2 * c][:B, :NS]
-        x_last = outs[1 + 2 * c + 1][:B, :]
+        carry = outs[o + 2 * c][:B, :NS]
+        x_last = outs[o + 2 * c + 1][:B, :]
         casc_raw.append((carry, x_last))
-    ring_raw = [outs[1 + 2 * n_c + b][:B] for b in range(n_b)]
-    return y, tuple(casc_raw), tuple(ring_raw)
+    ring_raw = [outs[o + 2 * n_c + b][:B] for b in range(n_b)]
+    return y, tuple(casc_raw), tuple(ring_raw), taps

@@ -102,9 +102,10 @@ def test_mega_plan_rejects_oversampled_and_modded():
     assert _mega_plan_of(g2) == []
 
 
-def test_mega_plan_tap_ends_chain():
-    """An extra consumer on an intermediate ends the mega chain there;
-    the node itself becomes the would-be tail of the upstream chain."""
+def test_mega_plan_tap_continues_chain():
+    """An extra consumer on an intermediate no longer ends the mega
+    chain (round-5): the whole run plans as ONE segment and the
+    intermediate becomes a ("tap", ti) stage."""
     g = dst.Graph()
     inp = g.add("input")
     lp = g.add("low_pass", ratio=0.5)
@@ -114,8 +115,91 @@ def test_mega_plan_tap_ends_chain():
     wv = g.add("wave_view")
     out = g.add("output")
     g.chain(inp, lp, dt, hp, rv, out)
-    g.connect(hp, "out", wv, "in")         # tap on hp: chain ends at hp
-    assert _mega_plan_of(g) == [[lp.id, dt.id, hp.id]]
+    g.connect(hp, "out", wv, "in")         # tap on hp: chain continues
+    assert _mega_plan_of(g) == [[lp.id, dt.id, hp.id, rv.id]]
+
+
+def test_mega_plan_ambiguous_joint_takes_none():
+    """Two distinct joint candidates out of one member: the chain ends
+    there (ambiguous continuation), each candidate starts its own."""
+    g = dst.Graph()
+    inp = g.add("input")
+    dt = g.add("distort", mode="Tanh", level=2.0)
+    lp = g.add("low_pass", ratio=0.5)
+    # two downstream mega-fusable branches
+    rv1 = g.add("reverb", seconds=0.004, decay=0.3)
+    ch1 = g.add("chebyshev", level_pos=2.0, level_neg=3.0)
+    rv2 = g.add("reverb", seconds=0.008, decay=0.2)
+    ch2 = g.add("chebyshev", level_pos=1.5, level_neg=2.5)
+    out = g.add("output")
+    g.chain(inp, dt, lp)
+    g.chain(lp, ch1, rv1, out)
+    g.chain(lp, ch2, rv2, out)
+    plan = _mega_plan_of(g)
+    assert [dt.id, lp.id] in plan           # upstream run ends at lp
+    assert [ch1.id, rv1.id] in plan and [ch2.id, rv2.id] in plan
+
+
+def test_tapped_mid_segment_matches_unfused():
+    """Taps on BOTH a linear member (splits the composite cascade) and
+    a shaper member, consumed by second Output nodes: one segment, all
+    three outputs match the mega-disabled render, states included."""
+    g = dst.Graph()
+    inp = g.add("input")
+    gn = g.add("gain", level=1.1)
+    lp = g.add("low_pass", ratio=0.55)      # tapped linear member
+    bq = g.add("biquad", a0=1.0, a1=-0.3, a2=0.05, b0=0.8, b1=0.1, b2=0.0)
+    dt = g.add("distort", mode="SoftClip", level=2.5)   # tapped shaper
+    rv = g.add("reverb", seconds=0.004, decay=0.45)
+    out = g.add("output")
+    tap_lp = g.add("output")
+    tap_dt = g.add("output")
+    g.chain(inp, gn, lp, bq, dt, rv, out)
+    g.connect(lp, "out", tap_lp, "in")
+    g.connect(dt, "out", tap_dt, "in")
+    assert _mega_plan_of(g) == [[gn.id, lp.id, bq.id, dt.id, rv.id]]
+
+    rng = np.random.default_rng(9)
+    T = 4096
+    x = (rng.standard_normal(T) * 0.3).astype(np.float32)
+    ext = {str(inp.id): x}
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_f, _, st_f = cg.render(ext)
+        y_u, _, st_u = _render_unfused(g, ext)
+    assert np.asarray(y_f).shape == np.asarray(y_u).shape == (3, T)
+    _assert_close_dbfs(y_f, y_u)
+    import jax
+    for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_u)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=0, atol=2e-6)
+
+
+def test_tapped_segment_segmented_state_carry():
+    """Tapped segment chained through state across a cut == one render
+    (the cascade split at the tap hands off its states exactly)."""
+    g = dst.Graph()
+    inp = g.add("input")
+    lp = g.add("low_pass", ratio=0.4)
+    hp = g.add("high_pass", ratio=0.15)     # tapped mid-cascade
+    dt = g.add("distort", mode="Tanh", level=2.0)
+    rv = g.add("reverb", seconds=0.004, decay=0.4)
+    out = g.add("output")
+    wv = g.add("wave_view")
+    g.chain(inp, lp, hp, dt, rv, out)
+    g.connect(hp, "out", wv, "in")
+    assert _mega_plan_of(g) == [[lp.id, hp.id, dt.id, rv.id]]
+    rng = np.random.default_rng(10)
+    T, cut = 4096, 2048
+    x = (rng.standard_normal(T) * 0.3).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_full, _, _ = cg.render({str(inp.id): x})
+        y1, _, st = cg.render({str(inp.id): x[:cut]})
+        y2, _, _ = cg.render({str(inp.id): x[cut:]}, state=st)
+    got = np.concatenate([np.asarray(y1)[0], np.asarray(y2)[0]])
+    _assert_close_dbfs(got, np.asarray(y_full)[0])
 
 
 def test_mega_plan_pure_linear_or_pure_ew_rejected():
@@ -279,11 +363,11 @@ def test_chain_segment_grad_matches_fallback():
     state = (jnp.zeros((1,), jnp.float32), jnp.zeros((192,), jnp.float32))
 
     def loss_seg(x):
-        y, _, _ = cs.chain_segment(x, stages, state)
+        y, _, _, _ = cs.chain_segment(x, stages, state)
         return jnp.sum(y ** 2)
 
     def loss_fb(x):
-        y, _, _ = cs.segment_fallback(x, stages, state)
+        y, _, _, _ = cs.segment_fallback(x, stages, state)
         return jnp.sum(y ** 2)
 
     with precision.policy("fast"):

@@ -47,7 +47,12 @@ def _db(got, want):
     return 20 * np.log10(max(err, 1e-30) / den)
 
 
-def _assert_states_close(st_got, st_want, db=-80.0):
+def _assert_states_close(st_got, st_want, scale, db=-80.0):
+    """State leaves hold downstream accumulations of the kernel-vs-
+    fallback output noise, so the bound is relative to the larger of
+    the leaf's own scale and the SIGNAL scale (the r3 lesson: an
+    absolute/leaf-relative bound mis-scopes when a leaf is quieter than
+    the signal whose error it inherits)."""
     import jax
     leaves_g = jax.tree.leaves(st_got)
     leaves_w = jax.tree.leaves(st_want)
@@ -59,7 +64,7 @@ def _assert_states_close(st_got, st_want, db=-80.0):
             np.testing.assert_array_equal(a, b)
             continue
         err = np.abs(a.astype(np.float64) - b.astype(np.float64)).max()
-        den = max(float(np.abs(b).max()), 1e-3)   # near-silent leaves:
+        den = max(float(np.abs(b).max()), float(scale), 1e-3)
         assert err <= den * 10 ** (db / 20), (err, den)
 
 
@@ -94,7 +99,7 @@ def test_chain_megakernel_on_chip_matches_fallback():
         cs._segment_vjp.cache_clear()
 
     assert _db(y_k, y_f) <= -80.0
-    _assert_states_close(st_k, st_f)
+    _assert_states_close(st_k, st_f, np.abs(np.asarray(y_f)).max())
 
 
 def test_cycle_megakernel_on_chip_matches_interpreter():
@@ -125,7 +130,7 @@ def test_cycle_megakernel_on_chip_matches_interpreter():
         cyc._cycle_vjp.cache_clear()
 
     assert _db(y_k, y_i) <= -80.0
-    _assert_states_close(st_k, st_i)
+    _assert_states_close(st_k, st_i, np.abs(np.asarray(y_i)).max())
 
 
 def test_fast_batched_chain_vs_oracle_on_chip():
