@@ -187,6 +187,16 @@ def main():
     except Exception as e:
         print(f"bench: accuracy metric failed: {e!r}", file=sys.stderr)
 
+    # fast-path accuracy (round-5 ask #2): the parity metric above
+    # structurally bypasses the megakernels (fast-policy-only), so pin
+    # the ENGAGED batched fast path — the one producing the aggregate
+    # numbers — against the oracle, driver-visible every round
+    fast_acc = {}
+    try:
+        fast_acc = _fast_accuracy_metric(dst, precision, rng)
+    except Exception as e:
+        print(f"bench: fast-accuracy metric failed: {e!r}", file=sys.stderr)
+
     cfg_rtf = {}
     for name in ("config2", "config3", "config4"):
         try:
@@ -201,6 +211,20 @@ def main():
         rtf_maxbatch, gbps["batch512"] = _max_throughput_metric(rng)
     except Exception as e:
         print(f"bench: max-throughput metric failed: {e!r}", file=sys.stderr)
+
+    # batched aggregates for the remaining configs (round-5 ask #3):
+    # "fast at scale" must hold for every config shape, not just the
+    # chain — these are the driver-visible evidence
+    cfg_batch = {}
+    for name, nb in (("config2", 512), ("config3", 512), ("config4", 256),
+                     ("config5", 512)):
+        try:
+            r, gb = _config_batched_metric(name, rng, nb)
+            cfg_batch[name] = (round(r, 1), gb, nb)
+        except Exception as e:
+            print(f"bench: {name} batched metric failed: {e!r}",
+                  file=sys.stderr)
+            cfg_batch[name] = (None, None, nb)
 
     stream_rtf = {}
     try:
@@ -219,6 +243,11 @@ def main():
         "accuracy_dbfs_vs_oracle_parity":
             round(float(acc_dbfs), 1) if acc_dbfs is not None else None,
         "accuracy_render_seconds": ACC_SECONDS,
+        # fast policy THROUGH the engaged megakernels (chain kernel at
+        # batch 512, cycle kernel on config5) vs the NumPy oracles of
+        # the reference semantics; documented class ~-87 dBFS
+        "accuracy_dbfs_fast_batch512": fast_acc.get("batch512"),
+        "accuracy_dbfs_fast_config5": fast_acc.get("config5"),
         "rtf_16node_feedback_64_stereo_streams":
             round(rtf_batched, 1) if rtf_batched is not None else None,
         "rtf_config2_echo_chorus": cfg_rtf.get("config2"),
@@ -227,6 +256,33 @@ def main():
         "rtf_10node_chain_batch512_aggregate":
             round(rtf_maxbatch, 1) if rtf_maxbatch is not None else None,
         "pct_hbm_roofline_batch512": _pct_roofline(rtf_maxbatch, 1, 1),
+        # batched aggregates for the other configs (aggregate audio-s/s
+        # across all streams; config4 at 256 streams — stereo outs +
+        # overlap-save FFT frames double its footprint)
+        "rtf_config2_batch512_aggregate": cfg_batch.get("config2",
+                                                        (None,))[0],
+        "rtf_config3_batch512_aggregate": cfg_batch.get("config3",
+                                                        (None,))[0],
+        "rtf_config4_batch256_aggregate": cfg_batch.get("config4",
+                                                        (None,))[0],
+        "rtf_config5_batch512_aggregate": cfg_batch.get("config5",
+                                                        (None,))[0],
+        "pct_hbm_roofline_config2_batch": _pct_roofline(
+            cfg_batch.get("config2", (None,))[0], 1, 1),
+        "pct_hbm_roofline_config3_batch": _pct_roofline(
+            cfg_batch.get("config3", (None,))[0], 1, 1),
+        "pct_hbm_roofline_config4_batch": _pct_roofline(
+            cfg_batch.get("config4", (None,))[0], 1, 2),
+        "pct_hbm_roofline_config5_batch": _pct_roofline(
+            cfg_batch.get("config5", (None,))[0], 1, 1),
+        "achieved_gbps_config2_batch": cfg_batch.get("config2",
+                                                     (None, None))[1],
+        "achieved_gbps_config3_batch": cfg_batch.get("config3",
+                                                     (None, None))[1],
+        "achieved_gbps_config4_batch": cfg_batch.get("config4",
+                                                     (None, None))[1],
+        "achieved_gbps_config5_batch": cfg_batch.get("config5",
+                                                     (None, None))[1],
         # stream counts per set match the graphs (models/presets.py):
         # headline chain is a stereo pair (2 in, 2 out); config2/3/5 are
         # 1-in/1-out mono; config4 is 1 mono in, 2 outs (stereo reverb).
@@ -407,6 +463,23 @@ def _config_metric(name: str, rng):
     return (T / SR) * N_CHAIN / best, _gbps(by, best)
 
 
+def _config_batched_metric(name: str, rng, B: int):
+    """Aggregate throughput for one BASELINE config at batch: B mono
+    streams x 10 s, chained n_chain=16 (the same fetch-amortization
+    protocol as the chain batch-512 section).  Returns (aggregate
+    audio-seconds per wall-second, achieved GB/s)."""
+    from dsp_stuff_tpu.models import PRESETS
+    if name == "config4":
+        g, meta = PRESETS[name](ir_seconds=0.5)
+    else:
+        g, meta = PRESETS[name]()
+    T = SR * 10
+    x = (rng.standard_normal((B, T)) * 0.2).astype(np.float32)
+    best, by = _time_chained_renders(g, {str(meta["input"]): x}, batch=B,
+                                     n_chain=16)
+    return B * (T / SR) * 16 / best, _gbps(by, best)
+
+
 def _max_throughput_metric(rng):
     """Aggregate throughput at scale: the 10-node chain over 512 mono
     streams, 10 s each.  Every per-stream config is dispatch-bound (the
@@ -426,6 +499,52 @@ def _max_throughput_metric(rng):
     best, by = _time_chained_renders(g, {str(inp_id): x}, batch=B,
                                      n_chain=16)
     return B * (T / SR) * 16 / best, _gbps(by, best)
+
+
+def _dbfs(got, want):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    err = np.abs(got - want).max()
+    den = max(float(np.abs(want).max()), 1e-9)
+    return 20.0 * np.log10(max(err, 1e-30) / den)
+
+
+def _fast_accuracy_metric(dst, precision, rng):
+    """dBFS of the ENGAGED fast path vs the NumPy oracles, stream 0 of
+    a batched render where the megakernels dispatch for real:
+
+      batch512 -- the 10-node chain, 512 streams x 2 s, through the
+                  chain megakernel (ops/pallas_chain.py);
+      config5  -- the 16-node feedback graph, 128 streams x 1 s,
+                  through the cycle megakernel (ops/pallas_cycle.py).
+
+    This is the accuracy of the path that produces the aggregate
+    throughput numbers; the parity metric (`_accuracy_metric`)
+    structurally bypasses both kernels (they are fast-policy-only).
+    TPU-marked regression pins live in tests/test_tpu_kernels.py."""
+    from dsp_stuff_tpu.models import config5_feedback_16node
+    from oracle.graph import evaluate
+    out = {}
+
+    g, inp_id = build_chain()
+    T = SR * 2
+    xb = (rng.standard_normal((512, 1, T)) * 0.25).astype(np.float32)
+    with precision.policy("fast"):
+        cg = dst.compile_graph(g)
+        y, _, _ = cg.render(xb, batch_shape=(512,))
+    out["batch512"] = round(float(_dbfs(np.asarray(y)[0, 0],
+                                        oracle_chain(xb[0, 0]))), 1)
+
+    g5, meta5 = config5_feedback_16node()
+    T5 = SR * 1
+    x5 = (rng.standard_normal((128, 1, T5)) * 0.2).astype(np.float32)
+    with precision.policy("fast"):
+        cg5 = dst.compile_graph(g5)
+        y5, _, _ = cg5.render(x5, batch_shape=(128,))
+    want = evaluate(g5, {int(meta5["input"]): x5[0, 0]}, T5)
+    out["config5"] = round(float(_dbfs(np.asarray(y5)[0, 0],
+                                       want[cg5.output_ids[0]])), 1)
+    return out
 
 
 def _accuracy_metric(jax, dst, precision, g, inp_id, x):

@@ -49,6 +49,11 @@ BT = int(os.environ.get("DST_MEGA_BT", "128"))   # batch rows per grid step
 C = 128        # samples per sub-block (the compiler's reference frame)
 NS = 8         # padded composite-state lanes (MAX_RUN_DIM embeds <= 8)
 _TB_CAP = int(os.environ.get("DST_MEGA_TB", "16"))
+#: merge each cascade's two signal GEMMs (y = blk@Ltg [C,C] and
+#: newc = blk@W [C,NS]) into ONE blk@[Ltg|W] [C,C+NS] dot per sub-block
+#: (identical math per column — concatenation doesn't change any dot's
+#: reduction); opt-in measurement flag (tools/measure_mega.py)
+FUSED_GEMM = os.environ.get("DST_MEGA_FUSED_GEMM", "0") == "1"
 
 
 def _pick_tb(K: int) -> int:
@@ -149,12 +154,19 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
             return cross + dot(a_hi, w_hi, None)
 
         # hoist the constant-operand bf16 splits of the HIGH-gated
-        # cascade GEMMs out of the sub-block loop (once per grid step)
+        # cascade GEMMs out of the sub-block loop (once per grid step);
+        # under FUSED_GEMM the two constants concatenate into one
+        # [C, C+NS] operand here (one VMEM copy per grid step)
         casc_split = []
+        casc_lw = []
         for ci in range(n_c):
+            ltg, w = casc_in[4 * ci], casc_in[4 * ci + 1]
+            lw = jnp.concatenate([ltg[:], w[:]], axis=1) if FUSED_GEMM \
+                else None
+            casc_lw.append(lw)
             if casc_ngp[ci][1] == jax.lax.Precision.HIGH:
-                ltg, w = casc_in[4 * ci], casc_in[4 * ci + 1]
-                casc_split.append((_split(ltg[:]), _split(w[:])))
+                casc_split.append(_split(lw) if FUSED_GEMM
+                                  else (_split(ltg[:]), _split(w[:])))
             else:
                 casc_split.append(None)
 
@@ -189,7 +201,13 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                     # (benign taps measured error-identical, CLAUDE.md),
                     # HIGHEST otherwise.
                     sp = casc_split[ci]
-                    if sp is not None:
+                    if FUSED_GEMM:
+                        if sp is not None:
+                            yz = dot_bf3(blk, *sp)
+                        else:
+                            yz = dot(blk, casc_lw[ci])
+                        y, newc = yz[:, :C], yz[:, C:]
+                    elif sp is not None:
                         (l_hi, l_lo), (w_hi, w_lo) = sp
                         y = dot_bf3(blk, l_hi, l_lo)
                         newc = dot_bf3(blk, w_hi, w_lo)

@@ -31,8 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dsp_stuff_tpu.ops.pallas_chain import (BT, C, NS, _casc_consts,
-                                            _pick_tb)
+from dsp_stuff_tpu.ops.pallas_chain import (BT, C, NS, FUSED_GEMM,
+                                            _casc_consts, _pick_tb)
 from dsp_stuff_tpu.ops.chain_segment import apply_ew
 
 
@@ -100,10 +100,15 @@ def _build_kernel(program: tuple, TB: int, K: int, K_steps: int,
             return cross + dot(a_hi, w_hi, None)
 
         casc_split = []
+        casc_lw = []
         for ci in range(n_c):
+            ltg, w = casc_in[4 * ci], casc_in[4 * ci + 1]
+            lw = jnp.concatenate([ltg[:], w[:]], axis=1) if FUSED_GEMM \
+                else None
+            casc_lw.append(lw)
             if casc_ngp[ci][1] == jax.lax.Precision.HIGH:
-                ltg, w = casc_in[4 * ci], casc_in[4 * ci + 1]
-                casc_split.append((_split(ltg[:]), _split(w[:])))
+                casc_split.append(_split(lw) if FUSED_GEMM
+                                  else (_split(ltg[:]), _split(w[:])))
             else:
                 casc_split.append(None)
 
@@ -142,7 +147,13 @@ def _build_kernel(program: tuple, TB: int, K: int, K_steps: int,
                             casc_out[2 * ci + 1][:, :] = blk
                     carry = carry_refs[ci][:, :]
                     sp = casc_split[ci]
-                    if sp is not None:
+                    if FUSED_GEMM:
+                        if sp is not None:
+                            yz = dot_bf3(flow, *sp)
+                        else:
+                            yz = dot(flow, casc_lw[ci])
+                        y, newc = yz[:, :C], yz[:, C:]
+                    elif sp is not None:
                         (l_hi, l_lo), (w_hi, w_lo) = sp
                         y = dot_bf3(flow, l_hi, l_lo)
                         newc = dot_bf3(flow, w_hi, w_lo)
