@@ -339,7 +339,22 @@ CYCLE_FUSION = True
 _EW_KINDS = ("distort", "overdrive", "chebyshev")
 
 #: stateful node types that keep a chain segment worthwhile
-_MEGA_STATEFUL = ("low_pass", "high_pass", "biquad", "reverb")
+_MEGA_STATEFUL = ("low_pass", "high_pass", "biquad", "reverb", "chorus")
+
+
+def _chorus_mega_geo(node):
+    """(L, NH, EV, RS) for a chorus node's mtap stage, or None when the
+    LFO geometry can't lower (non-concrete params, too-fast/deep LFO,
+    too-small minimum delay — ops/modfx.mtap_static)."""
+    from dsp_stuff_tpu.ops.modfx import max_delay_samples, mtap_static
+    ps = [node.params.get(k) for k in ("rate", "depth", "base", "mix")]
+    if not all(isinstance(v, (int, float, np.floating)) for v in ps):
+        return None
+    L = max_delay_samples(float(ps[2]), float(ps[1]))
+    geo = mtap_static(float(ps[0]), float(ps[1]), float(ps[2]), L)
+    if geo is None:
+        return None
+    return (L, *geo)
 
 
 def _plan_mega_fusion(graph: Graph, nodes: dict, sccs) -> list:
@@ -384,6 +399,8 @@ def _plan_mega_fusion(graph: Graph, nodes: dict, sccs) -> list:
             # oversampled shaping runs through the FIR rate ladder --
             # not a resident-block stage
             return str(node.params.get("oversample", "1")) == "1"
+        if cn == "chorus":
+            return _chorus_mega_geo(node) is not None
         return False
 
     nxt: dict[int, int] = {}
@@ -845,6 +862,19 @@ def compile_graph(graph: Graph, block_size: int = 128,
                     D = delay_samples(float(node.params["seconds"]))
                     stages.append(("comb", float(np.float32(dec)), int(D)))
                     specs.append(("comb", nid))
+                elif cn == "chorus":
+                    geo = _chorus_mega_geo(node)
+                    if geo is None:
+                        return None
+                    L, NH, EV, RS = geo
+                    flush_scale()
+                    stages.append(("mtap",
+                                   float(np.float32(node.params["mix"])),
+                                   int(L), int(NH), int(EV), int(RS)))
+                    specs.append(("mtap", nid,
+                                  float(node.params["rate"]),
+                                  float(node.params["depth"]),
+                                  float(node.params["base"]), int(L)))
                 elif cn == "overdrive":
                     ps = [node.params[k] for k in ("boost", "drive", "level")]
                     if not all(concrete(v) for v in ps):
@@ -908,12 +938,23 @@ def compile_graph(graph: Graph, block_size: int = 128,
         intermediate (("tap", ti) stages, index order == ``tapped``)."""
         from dsp_stuff_tpu.ops import cascade
         from dsp_stuff_tpu.ops.chain_segment import chain_segment
+        from dsp_stuff_tpu.ops.modfx import mtap_shared
+        T_run = x1.shape[-1]
         state_in = []
         for sp in specs:
             if sp[0] == "cascade":
                 _, secs, ids = sp
                 state_in.append(cascade.cascade_state_in(
                     secs, [st[str(n)] for n in ids]))
+            elif sp[0] == "mtap":
+                _, nid_m, rate, depth, base, L = sp
+                nst = st[str(nid_m)]
+                # shared trajectory operands (stream-independent: the
+                # chorus clock t0 is lockstep state, so these stay
+                # unbatched under vmap — chain_segment's shared slots)
+                q, r, fr = mtap_shared(rate, depth, base, L, T_run,
+                                       nst["t0"])
+                state_in += [nst["hist"], q, r, fr]
             else:
                 nst = st[str(sp[1])]
                 # canonicalize the reverb ring oldest-first (pos from a
@@ -931,6 +972,13 @@ def compile_graph(graph: Graph, block_size: int = 128,
                                                  x_tm1, x_tm2)
                 for n, ns in zip(ids, outs):
                     st[str(n)] = ns
+            elif sp[0] == "mtap":
+                nid_m = sp[1]
+                st[str(nid_m)] = {
+                    "hist": hists[hi],
+                    "t0": jnp.asarray(st[str(nid_m)]["t0"],
+                                      jnp.int32) + T_run}
+                hi += 1
             else:
                 st[str(sp[1])] = {"ring": hists[hi], "pos": jnp.int32(0)}
                 hi += 1

@@ -30,6 +30,17 @@ Stage descriptors (static tuples; the compiler builds them in
                                  node.rs:321-325; a mid-chain tap no
                                  longer splits the segment into two
                                  HBM passes)
+    ("mtap", mix, L, NH, EV, RS)
+                              -- sine-modulated fractional-delay tap
+                                 (the chorus, ops/modfx.py) on the
+                                 stage input; state: FOUR entries
+                                 (hist [..., L], then the SHARED
+                                 trajectory operands q [T//128] int32,
+                                 r [T] int32, frac [T] f32 from
+                                 modfx.mtap_shared — stream-independent
+                                 by the lockstep clock, so they must
+                                 NOT be broadcast under vmap).  NH/EV/
+                                 RS from modfx.mtap_static.
 
 ``chain_segment(x, stages, state_in)`` returns
 ``(y, cascade_infos, comb_hists, taps)``:
@@ -114,6 +125,12 @@ def segment_fallback(x, stages: tuple, state_in: tuple):
             si += 1
             v, nh = feedback_comb(v, st[1], st[2], hist)
             hists.append(nh)
+        elif st[0] == "mtap":
+            from dsp_stuff_tpu.ops.modfx import mtap_apply
+            hist, q, r, fr = state_in[si:si + 4]
+            si += 4
+            v, nh = mtap_apply(v, hist, q, r, fr, st[1])
+            hists.append(nh)
         elif st[0] == "tap":
             taps[st[1]] = v
         else:
@@ -135,6 +152,8 @@ def _use_kernel(B: int, T: int, stages) -> bool:
             if D < 128:
                 return False        # intra-block feedback: comb unchunkable
             ring_bytes += -(-D // 128) * 128 * bt * 4
+        elif st[0] == "mtap":
+            ring_bytes += (st[3] + 1) * 128 * bt * 4       # NH+1 slots
     return ring_bytes <= _RING_VMEM_BYTES
 
 
@@ -157,11 +176,13 @@ def _segment_batched(x, stages: tuple, state_in: tuple):
             ci += 1
             s1, s2 = cascade_tail_states(st[1], x_last, carry_last)
             cinfos.append((s1, s2, x_last[..., -1], x_last[..., -2]))
-        elif st[0] == "comb":
+        elif st[0] in ("comb", "mtap"):
             ring = ring_raw[hi]                       # [B, NR, 128]
             hi += 1
+            # comb: D samples of output history; mtap: L samples of
+            # INPUT history over NH+1 ring slots (st[2] is D resp. L)
             D = st[2]
-            NR = -(-D // 128)
+            NR = -(-D // 128) if st[0] == "comb" else st[3] + 1
             # ring slot s holds block b == s (mod NR) for the last NR
             # blocks; oldest block = K_real - NR -> start slot
             s_old = (K_real - NR) % NR
@@ -171,8 +192,26 @@ def _segment_batched(x, stages: tuple, state_in: tuple):
     return y, tuple(cinfos), tuple(hists), taps
 
 
+def _shared_state_slots(stages: tuple) -> frozenset:
+    """State-entry indices that are SHARED trajectory operands (the
+    mtap q/r/frac): stream-independent by construction, they must pass
+    through vmap unbatched (broadcasting them would both break the
+    kernel's [T]-operand layout and waste B copies of HBM)."""
+    shared = set()
+    si = 0
+    for st in stages:
+        if st[0] in ("cascade", "comb"):
+            si += 1
+        elif st[0] == "mtap":
+            shared.update((si + 1, si + 2, si + 3))
+            si += 4
+    return frozenset(shared)
+
+
 @functools.lru_cache(maxsize=64)
 def _segment_core(stages: tuple):
+    shared_slots = _shared_state_slots(stages)
+
     @jax.custom_batching.custom_vmap
     def core(x, state_in):
         # unbatched [T] input: the fallback composition
@@ -186,10 +225,17 @@ def _segment_core(stages: tuple):
             raise NotImplementedError(
                 "chain_segment: the signal must carry the (single) "
                 "vmapped axis")
+        if any(st_b[i] for i in shared_slots):
+            raise NotImplementedError(
+                "chain_segment: mtap trajectory operands (q/r/frac) are "
+                "lockstep-shared and must not carry the vmapped axis")
         S = axis_size
-        sts = tuple(s if b else jnp.broadcast_to(s, (S, *jnp.shape(s)))
-                    for s, b in zip(state_in, st_b))
+        sts = tuple(s if (b or i in shared_slots)
+                    else jnp.broadcast_to(s, (S, *jnp.shape(s)))
+                    for i, (s, b) in enumerate(zip(state_in, st_b)))
         out = _segment_batched(x, stages, sts)
+        # everything is per-stream EXCEPT the mtap trajectory operands'
+        # positions don't appear in outputs (hists are per-stream)
         batched = jax.tree.map(lambda _: True, out)
         return out, batched
 

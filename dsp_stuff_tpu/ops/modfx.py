@@ -188,22 +188,13 @@ def _barrel_taps(xx, i, c0: int, U: int, E: int):
     return a, b
 
 
-def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
+def _tap_trajectory(rate_hz, depth_s, base_s, L: int, T: int, t0,
                     sample_rate: int = 48_000):
-    """Apply a sine-modulated fractional delay along the last axis.
-
-    x     -- [..., T] dry signal
-    hist  -- [..., L] previous inputs (newest last; L = max_delay_samples)
-    t0    -- absolute sample index of x[..., 0] (int32 scalar or [...]) for
-             LFO phase continuity across segments
-    Returns (y [..., T], new_hist, new_t0).
-    """
+    """(i, frac) of the fractional tap into ``xx = [hist(L), x(T)]``
+    coordinates: i int32 (clipped to [0, L+T-2]), frac f32 — the shared
+    trajectory math of modulated_delay, factored so the fused mtap
+    stage (ops/chain_segment) evaluates the IDENTICAL indices/weights."""
     f32 = jnp.float32
-    x = jnp.asarray(x, f32)
-    T = x.shape[-1]
-    L = hist.shape[-1]
-    xx = jnp.concatenate([hist, x], axis=-1)               # [..., L+T]
-
     t0a = jnp.asarray(t0, jnp.int32)
     # [T] for a scalar clock (the shared/lockstep case), [..., T] otherwise
     t_abs = (t0a + jnp.arange(T) if t0a.ndim == 0
@@ -250,6 +241,26 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
     pos = jnp.clip(pos, 0.0, L + T - 2)
     i = jnp.floor(pos).astype(jnp.int32)
     frac = (pos - jnp.floor(pos)).astype(f32)
+    return i, frac
+
+
+def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
+                    sample_rate: int = 48_000):
+    """Apply a sine-modulated fractional delay along the last axis.
+
+    x     -- [..., T] dry signal
+    hist  -- [..., L] previous inputs (newest last; L = max_delay_samples)
+    t0    -- absolute sample index of x[..., 0] (int32 scalar or [...]) for
+             LFO phase continuity across segments
+    Returns (y [..., T], new_hist, new_t0).
+    """
+    f32 = jnp.float32
+    x = jnp.asarray(x, f32)
+    T = x.shape[-1]
+    L = hist.shape[-1]
+    xx = jnp.concatenate([hist, x], axis=-1)               # [..., L+T]
+    i, frac = _tap_trajectory(rate_hz, depth_s, base_s, L, T, t0,
+                              sample_rate)
     if i.ndim == 1:
         # shared tap trajectory (scalar LFO params + the lockstep sample
         # clock — the normal case).  Two lowerings:
@@ -293,3 +304,93 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
     new_hist = xx[..., -L:]
     new_t0 = jnp.asarray(t0, jnp.int32) + T
     return y, new_hist, new_t0
+
+
+# ---------------------------------------------------------------------------
+# Fused-chorus ("mtap") support: the chain megakernel evaluates the
+# modulated fractional tap on a VMEM-resident input ring
+# (ops/pallas_chain.py), so at batch a chorus costs ZERO extra HBM
+# passes.  The trajectory is shared across streams (lockstep clock), so
+# its decomposition — per-block 8-aligned window starts q, per-sample
+# residuals r < 8+E, interpolation weights frac — precomputes OUTSIDE
+# the kernel as three tiny [K]/[T] arrays (1/B-th of a signal pass) and
+# rides in as shared operands.  The fallback (mtap_apply) evaluates the
+# same decomposition by gather, bit-identical to modulated_delay's
+# batched path for finite values.
+
+_MTAP_S = _BARREL_SUB       # window alignment granularity (8)
+
+
+def mtap_static(rate_hz: float, depth_s: float, base_s: float, L: int,
+                sample_rate: int = 48_000):
+    """Static mtap geometry for CONCRETE LFO params, or None when the
+    stage can't lower: (NH, EV, RS) with NH = history blocks (ring has
+    NH+1 slots), EV = one-hot select count (8 + per-block trajectory
+    variation bound), RS = window slice width.  Gates: the minimum
+    delay must clear the b-tap (d >= 1) and the window slice
+    (dmin >= RS - 128), and EV must stay VPU-cheap."""
+    C = _BARREL_FRAME
+    rate = abs(float(rate_hz))
+    depth = float(depth_s) * sample_rate
+    base = float(base_s) * sample_rate
+    dmin = base - depth
+    E = int(np.ceil(depth * 2.0 * np.pi * rate * C / sample_rate)) + 2
+    EV = _MTAP_S + E
+    if EV > _MTAP_S + _BARREL_MAX_E:
+        return None
+    RS = C + (-(-(EV + 1) // _MTAP_S)) * _MTAP_S
+    if dmin < RS - C + 2.0:
+        return None
+    NH = -(-L // C)
+    return NH, EV, RS
+
+
+def mtap_shared(rate_hz, depth_s, base_s, L: int, T: int, t0,
+                sample_rate: int = 48_000):
+    """Shared (stream-independent) trajectory operands for one render:
+    (q [T//128] int32, r [T] int32, frac [T] f32).
+
+    Coordinates: in-render absolute tap position a[t] = i[t] - L (i from
+    _tap_trajectory, so indices/weights are IDENTICAL to the unfused
+    chorus); u[t] = a[t] - t + NH*128 is the offset into the kernel's
+    (NH+1)-block window; q_b = 8-aligned per-block floor of u,
+    r = u - q_b[t // 128] in [0, EV)."""
+    C = _BARREL_FRAME
+    assert T % C == 0, T
+    i, frac = _tap_trajectory(rate_hz, depth_s, base_s, L, T, t0,
+                              sample_rate)
+    NH = -(-L // C)
+    u = i - L + NH * C - jnp.arange(T, dtype=jnp.int32)
+    u2 = u.reshape(T // C, C)
+    q = (u2.min(axis=1) // _MTAP_S) * _MTAP_S              # [K] aligned
+    r = (u2 - q[:, None]).reshape(T)                       # [T] < EV
+    return q, r, frac
+
+
+def mtap_apply(x, hist, q, r, frac, mix):
+    """Fallback mtap evaluation on [..., T] via gather (indices and
+    weights identical to modulated_delay's batched lowering; used by
+    ops/chain_segment.segment_fallback and as the VJP reference).
+    Returns (y, new_hist)."""
+    f32 = jnp.float32
+    x = jnp.asarray(x, f32)
+    T = x.shape[-1]
+    L = hist.shape[-1]
+    C = _BARREL_FRAME
+    NH = -(-L // C)
+    pad0 = NH * C - L
+    lead = [(0, 0)] * (x.ndim - 1)
+    xxp = jnp.concatenate(
+        [jnp.zeros((*x.shape[:-1], pad0), f32), jnp.asarray(hist, f32), x],
+        axis=-1) if pad0 else jnp.concatenate(
+        [jnp.asarray(hist, f32), x], axis=-1)
+    del lead
+    idx = (jnp.repeat(q, C) + r + jnp.arange(T, dtype=jnp.int32))
+    a = xxp[..., idx]
+    b = xxp[..., idx + 1]
+    wet = a * (1.0 - frac) + b * frac
+    mix = jnp.asarray(mix, f32)
+    y = x * (1.0 - mix) + wet * mix
+    new_hist = xxp[..., -L:] if T >= L else jnp.concatenate(
+        [jnp.asarray(hist, f32), x], axis=-1)[..., -L:]
+    return y, new_hist

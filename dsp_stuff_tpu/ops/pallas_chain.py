@@ -87,14 +87,17 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
     """Kernel closure for a static stage list.
 
     Ref order: x, [per-cascade: ltg, w, ecb, act, s0], [per-comb: hist],
-    then outs: y, [tap x n_t], [per-cascade: carry_out, xlast_out],
-    [per-comb: ring_out], then scratch: [per-cascade: carry],
-    [per-comb: ring]."""
+    [per-mtap: hist, q(SMEM), r, frac], then outs: y, [tap x n_t],
+    [per-cascade: carry_out, xlast_out], [per-comb: ring_out],
+    [per-mtap: ring_out], then scratch: [per-cascade: carry],
+    [per-comb: ring], [per-mtap: ring]."""
     from dsp_stuff_tpu.utils.precision import gemm_precision
     cascades = [st for st in stages if st[0] == "cascade"]
     combs = [st for st in stages if st[0] == "comb"]
+    mtaps = [st for st in stages if st[0] == "mtap"]
     n_c = len(cascades)
     n_b = len(combs)
+    n_m = len(mtaps)
     n_t = sum(1 for st in stages if st[0] == "tap")
     # per-cascade (embedded carry dim, l1-gated Ltg GEMM precision) —
     # trace-time, same gate as linear_cascade's main taps GEMM
@@ -113,14 +116,18 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
         s0_refs = refs[1 + 4 * n_c:1 + 5 * n_c]
         hist_refs = refs[1 + 5 * n_c:1 + 5 * n_c + n_b]
         o = 1 + 5 * n_c + n_b
+        mtap_in = refs[o:o + 4 * n_m]          # hist, q, r, frac per mtap
+        o += 4 * n_m
         y_ref = refs[o]
         tap_refs = refs[o + 1:o + 1 + n_t]
         o = o + 1 + n_t
         casc_out = refs[o:o + 2 * n_c]
         ring_outs = refs[o + 2 * n_c:o + 2 * n_c + n_b]
-        s = o + 2 * n_c + n_b
+        mring_outs = refs[o + 2 * n_c + n_b:o + 2 * n_c + n_b + n_m]
+        s = o + 2 * n_c + n_b + n_m
         carry_refs = refs[s:s + n_c]
         ring_refs = refs[s + n_c:s + n_c + n_b]
+        mring_refs = refs[s + n_c + n_b:s + n_c + n_b + n_m]
 
         k = pl.program_id(1)
         f32 = jnp.float32
@@ -134,6 +141,13 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                 NR = comb_geom[b][0]
                 for m in range(NR):
                     ring_refs[b][m] = hist_refs[b][:, m * C:(m + 1) * C]
+            for mi, st in enumerate(mtaps):
+                NH = st[3]
+                hm = mtap_in[4 * mi]
+                # hist block m is signal block m - NH -> slot m + 1
+                # (mod NRW = NH + 1); slot 0 belongs to block 0
+                for m in range(NH):
+                    mring_refs[mi][m + 1] = hm[:, m * C:(m + 1) * C]
 
         def dot(a, w, prec=hi):
             return jnp.dot(a, w, preferred_element_type=f32, precision=prec)
@@ -174,6 +188,7 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
             blk = x_ref[:, j * C:(j + 1) * C]
             ci = 0
             bi = 0
+            mi = 0
             for st in stages:
                 if st[0] == "cascade":
                     ltg, w, ecb, act = casc_in[4 * ci:4 * ci + 4]
@@ -227,6 +242,60 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                     blk = apply_ew(st[1], blk, st[2])
                 elif st[0] == "tap":
                     tap_refs[st[1]][:, j * C:(j + 1) * C] = blk
+                elif st[0] == "mtap":
+                    # modulated fractional tap (chorus) on a VMEM ring
+                    # of the stage INPUT.  The shared trajectory comes
+                    # precomputed (modfx.mtap_shared): per-block
+                    # 8-aligned window start q (SMEM scalar), residual
+                    # one-hot selector r < EV, interp weight frac.
+                    _, mix, _L, NH, EV, RS = st
+                    NRW = NH + 1
+                    q_ref = mtap_in[4 * mi + 1]
+                    r_ref = mtap_in[4 * mi + 2]
+                    fr_ref = mtap_in[4 * mi + 3]
+                    b_idx = k * TB + j
+                    slot_w = jax.lax.rem(b_idx, NRW)
+                    # current input block is part of the tap window
+                    # (d >= RS-C+2 > 0 keeps reads causal), so write it
+                    # first; pad blocks past j_star at the final step
+                    # must not corrupt the emitted ring
+                    if j <= j_star:
+                        mring_refs[mi][slot_w] = blk
+                    else:
+                        @pl.when(k < K_steps - 1)
+                        def _(b=blk, mi=mi, slot_w=slot_w):
+                            mring_refs[mi][slot_w] = b
+                    q_j = q_ref[0, j]
+                    s_idx = q_j // C
+                    off = q_j - s_idx * C              # 8-aligned, < C
+                    # window = 3 consecutive ring blocks starting at
+                    # signal block (b_idx - NH + s_idx); RS <= 2C and
+                    # off < C keep [off, off+RS) inside the 3C concat
+                    parts = []
+                    for kk in range(3):
+                        sl = jax.lax.rem(
+                            b_idx - NH + s_idx + kk + 2 * NRW, NRW)
+                        parts.append(mring_refs[mi][sl])
+                    win3 = jnp.concatenate(parts, axis=1)
+                    # left-rotate by off (dynamic), keep the first RS
+                    sub = pltpu.roll(win3, 3 * C - off, axis=1)[:, :RS]
+                    r_blk = r_ref[:, j * C:(j + 1) * C]      # [1, C] i32
+                    fr_blk = fr_ref[:, j * C:(j + 1) * C]    # [1, C] f32
+                    acc_a = jnp.zeros(blk.shape, f32)
+                    acc_b = jnp.zeros(blk.shape, f32)
+                    for ev in range(EV):
+                        m = r_blk == ev
+                        # where-select, not mask-multiply: 0*NaN = NaN
+                        # would smear a bad sample across the window
+                        acc_a = acc_a + jnp.where(m, sub[:, ev:ev + C],
+                                                  f32(0))
+                        acc_b = acc_b + jnp.where(
+                            m, sub[:, ev + 1:ev + 1 + C], f32(0))
+                    wet = acc_a * (f32(1.0) - fr_blk) + acc_b * fr_blk
+                    # same f32 rounding as mtap_apply's (1.0 - mix)
+                    mixf = np.float32(mix)
+                    blk = (blk * (np.float32(1.0) - mixf) + wet * mixf)
+                    mi += 1
                 else:                                   # comb
                     NR, off, decay = comb_geom[bi]
                     b_idx = k * TB + j
@@ -259,6 +328,9 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                 NR = comb_geom[b][0]
                 for m in range(NR):
                     ring_outs[b][:, m, :] = ring_refs[b][m]
+            for mi, st in enumerate(mtaps):
+                for m in range(st[3] + 1):
+                    mring_outs[mi][:, m, :] = mring_refs[mi][m]
 
     return kernel
 
@@ -294,6 +366,7 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
     si = 0
     s0s = []
     hists = []
+    mtap_ops = []          # per mtap: (histp, q, r, frac)
     state_iter = list(state_in)
     for st in stages:
         if st[0] == "cascade":
@@ -310,6 +383,17 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
             off = NR * C - D
             hp = jnp.pad(hist, ((0, Bp - B), (off, 0)))
             hists.append(hp)
+        elif st[0] == "mtap":
+            hist, q, r, fr = state_iter[si:si + 4]
+            si += 4
+            _, _mix, L, NH, EV, RS = st
+            pad0 = NH * C - L
+            hp = jnp.pad(jnp.asarray(hist, f32), ((0, Bp - B), (pad0, 0)))
+            qp = jnp.pad(jnp.asarray(q, jnp.int32),
+                         (0, K_steps * TB - q.shape[-1]))[None, :]
+            rp = jnp.pad(jnp.asarray(r, jnp.int32), (0, Tp - T))[None, :]
+            frp = jnp.pad(jnp.asarray(fr, f32), (0, Tp - T))[None, :]
+            mtap_ops.append((hp, qp, rp, frp))
     for st in cascades:
         Ltg, Wp, Ecb, ACt, _, _ = _casc_consts(st[1])
         ops += [jnp.asarray(Ltg), jnp.asarray(Wp), jnp.asarray(Ecb),
@@ -325,6 +409,18 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
         ops.append(hp)
         in_specs.append(pl.BlockSpec((BT, NRC), lambda i, k: (i, 0),
                                      memory_space=pltpu.VMEM))
+    for hp, qp, rp, frp in mtap_ops:
+        ops += [hp, qp, rp, frp]
+        in_specs += [
+            pl.BlockSpec((BT, hp.shape[-1]), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda i, k: (0, k),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TB * C), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB * C), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ]
 
     seq_spec = pl.BlockSpec((BT, TB * C), lambda i, k: (i, k),
                             memory_space=pltpu.VMEM)
@@ -343,6 +439,15 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((Bp, NR, C), f32))
         scratch.append(pltpu.VMEM((NR, BT, C), f32))
+    mtaps = [st for st in stages if st[0] == "mtap"]
+    n_m = len(mtaps)
+    for st in mtaps:
+        NRW = st[3] + 1
+        out_specs.append(pl.BlockSpec((BT, NRW, C),
+                                      lambda i, k: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((Bp, NRW, C), f32))
+        scratch.append(pltpu.VMEM((NRW, BT, C), f32))
 
     from dsp_stuff_tpu.ops.pallas_math import safe_transcendentals
     kernel = _build_kernel(tuple(stages), TB, K, K_steps)
@@ -365,5 +470,16 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
         carry = outs[o + 2 * c][:B, :NS]
         x_last = outs[o + 2 * c + 1][:B, :]
         casc_raw.append((carry, x_last))
-    ring_raw = [outs[o + 2 * n_c + b][:B] for b in range(n_b)]
+    comb_rings = [outs[o + 2 * n_c + b][:B] for b in range(n_b)]
+    mtap_rings = [outs[o + 2 * n_c + n_b + m][:B] for m in range(n_m)]
+    # ring_raw in STAGE order (comb and mtap interleaved as they occur)
+    ring_raw = []
+    bi = mi = 0
+    for st in stages:
+        if st[0] == "comb":
+            ring_raw.append(comb_rings[bi])
+            bi += 1
+        elif st[0] == "mtap":
+            ring_raw.append(mtap_rings[mi])
+            mi += 1
     return y, tuple(casc_raw), tuple(ring_raw), taps

@@ -350,6 +350,130 @@ def test_interpret_kernel_matches_fallback(B, T, seconds, mode,
                                    rtol=0, atol=2e-6)
 
 
+def _config2_like():
+    """config2's shape (reverb -> chorus -> gain) plus a shaper so the
+    segment exercises cascade + ew + comb + mtap stages together."""
+    g = dst.Graph()
+    inp = g.add("input")
+    rv = g.add("reverb", seconds=0.004, decay=0.45)
+    ch = g.add("chorus", rate=0.8, depth=0.004, base=0.012, mix=0.5)
+    dt = g.add("distort", mode="SoftClip", level=2.0)
+    gn = g.add("gain", level=0.9)
+    out = g.add("output")
+    g.chain(inp, rv, ch, dt, gn, out)
+    return g, inp.id, [rv.id, ch.id, dt.id, gn.id]
+
+
+def test_mega_plan_chorus_joins_and_gates():
+    """A concrete-param chorus joins the mega chain as an ("mtap", ...)
+    stage; geometries the kernel can't lower (minimum delay below the
+    window-causality gate, LFO too fast/deep for the one-hot residual
+    bound — ops/modfx.mtap_static) exclude the node and the chain plans
+    around it."""
+    g, _, members = _config2_like()
+    assert _mega_plan_of(g) == [members]
+
+    # dmin = (base - depth) * sr = 0: fails the RS - C + 2 causality gate
+    g2 = dst.Graph()
+    inp2 = g2.add("input")
+    rv2 = g2.add("reverb", seconds=0.004, decay=0.3)
+    ch2 = g2.add("chorus", rate=0.8, depth=0.004, base=0.004, mix=0.5)
+    dt2 = g2.add("distort", mode="Tanh", level=2.0)
+    out2 = g2.add("output")
+    g2.chain(inp2, rv2, ch2, dt2, out2)
+    plan2 = _mega_plan_of(g2)
+    assert all(ch2.id not in run for run in plan2), plan2
+
+    # per-block trajectory variation beyond _BARREL_MAX_E: excluded
+    g3 = dst.Graph()
+    inp3 = g3.add("input")
+    rv3 = g3.add("reverb", seconds=0.004, decay=0.3)
+    ch3 = g3.add("chorus", rate=10.0, depth=0.02, base=0.05, mix=0.5)
+    dt3 = g3.add("distort", mode="Tanh", level=2.0)
+    out3 = g3.add("output")
+    g3.chain(inp3, rv3, ch3, dt3, out3)
+    plan3 = _mega_plan_of(g3)
+    assert all(ch3.id not in run for run in plan3), plan3
+
+
+def test_chorus_fused_render_matches_unfused():
+    """The mtap stage (fallback path) is BIT-IDENTICAL to the unfused
+    chorus: mtap_shared/mtap_apply evaluate the same indices and weights
+    as modulated_delay (ops/modfx.py), so fused == unfused bitwise here
+    (no FMA-sensitive recurrence sits downstream of the tap)."""
+    g, inp_id, _ = _config2_like()
+    rng = np.random.default_rng(11)
+    T = 5120
+    x = (rng.standard_normal(T) * 0.3).astype(np.float32)
+    ext = {str(inp_id): x}
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_f, _, st_f = cg.render(ext)
+        y_u, _, st_u = _render_unfused(g, ext)
+    _assert_close_dbfs(y_f, y_u)
+    import jax
+    for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_u)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=0, atol=2e-6)
+
+
+def test_chorus_fused_segmented_state_carry():
+    """Segmented fused renders == one fused render through the mtap
+    state (hist + the lockstep t0 clock): LFO phase continuity across
+    the cut (modulated_delay's t0 contract)."""
+    g, inp_id, _ = _config2_like()
+    rng = np.random.default_rng(12)
+    T, cut = 5120, 2560
+    x = (rng.standard_normal(T) * 0.3).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_full, _, _ = cg.render({str(inp_id): x})
+        y1, _, st = cg.render({str(inp_id): x[:cut]})
+        y2, _, _ = cg.render({str(inp_id): x[cut:]}, state=st)
+    got = np.concatenate([np.asarray(y1)[0], np.asarray(y2)[0]])
+    _assert_close_dbfs(got, np.asarray(y_full)[0])
+
+
+@pytest.mark.parametrize("B,T", [
+    (96, 2560),    # B % 128 != 0, K=20 (TB=10)
+    (64, 2688),    # K=21 (TB=7): pad blocks after j_star in the last step
+])
+def test_interpret_kernel_mtap_matches_fallback(B, T, monkeypatch):
+    """The megakernel's mtap stage (interpret mode) — VMEM input ring,
+    SMEM window starts, roll + one-hot residual selects — matches the
+    gather fallback through the full compiler, states included."""
+    g, inp_id, members = _config2_like()
+    assert _mega_plan_of(g) == [members]
+    rng = np.random.default_rng(B + T)
+    x = (rng.standard_normal((B, 1, T)) * 0.3).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_ref, _, st_ref = cg.render(x, batch_shape=(B,))
+
+    monkeypatch.setattr(cs, "_use_kernel", lambda B, T, stages: True)
+    monkeypatch.setattr(pc, "chain_kernel_call",
+                        functools.partial(pc.chain_kernel_call,
+                                          interpret=True))
+    cs._segment_core.cache_clear()
+    cs._segment_vjp.cache_clear()
+    cg2 = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_k, _, st_k = cg2.render(x, batch_shape=(B,))
+    cs._segment_core.cache_clear()
+    cs._segment_vjp.cache_clear()
+
+    _assert_close_dbfs(y_k, y_ref)
+    import jax
+    leaves_r = jax.tree.leaves(st_ref)
+    leaves_k = jax.tree.leaves(st_k)
+    assert len(leaves_r) == len(leaves_k)
+    for a, b in zip(leaves_k, leaves_r):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=0, atol=2e-6)
+
+
 def test_chain_segment_grad_matches_fallback():
     """The custom_vjp backward is the fallback's VJP: grads through
     chain_segment equal grads through segment_fallback."""

@@ -133,6 +133,38 @@ def test_cycle_megakernel_on_chip_matches_interpreter():
     _assert_states_close(st_k, st_i, np.abs(np.asarray(y_i)).max())
 
 
+def test_chorus_mtap_megakernel_on_chip_matches_fallback():
+    """config2 (reverb -> chorus -> gain) at B=64: the REAL Mosaic
+    chain kernel with an mtap stage — VMEM input ring, SMEM window
+    starts, pltpu.roll + one-hot residual selects — vs the gather
+    fallback on the same inputs, outputs and states (chorus hist + t0,
+    comb ring)."""
+    from dsp_stuff_tpu.models import config2_delay_chorus
+    g, meta = config2_delay_chorus()
+    rng = np.random.default_rng(15)
+    T = SR * 2
+    x = (rng.standard_normal((B, 1, T)) * 0.25).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_k, _, st_k = cg.render(x, batch_shape=(B,))   # kernel engaged
+
+    try:
+        cs._use_kernel_orig = cs._use_kernel
+        cs._use_kernel = lambda B, T, stages: False
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+        cg2 = compile_mod.compile_graph(g)
+        with precision.policy("fast"):
+            y_f, _, st_f = cg2.render(x, batch_shape=(B,))
+    finally:
+        cs._use_kernel = cs._use_kernel_orig
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+
+    assert _db(y_k, y_f) <= -80.0
+    _assert_states_close(st_k, st_f, np.abs(np.asarray(y_f)).max())
+
+
 def test_fast_batched_chain_vs_oracle_on_chip():
     """The ENGAGED fast path (chain megakernel at batch) against the
     per-sample NumPy oracle on stream 0: the documented fast class
