@@ -144,17 +144,14 @@ def _use_kernel(B: int, T: int, stages) -> bool:
         return False
     if B < 64 or T % 128 or T < 256:
         return False
-    from dsp_stuff_tpu.ops.pallas_chain import BT as bt  # env-tunable
-    ring_bytes = 0
     for st in stages:
-        if st[0] == "comb":
-            D = st[2]
-            if D < 128:
-                return False        # intra-block feedback: comb unchunkable
-            ring_bytes += -(-D // 128) * 128 * bt * 4
-        elif st[0] == "mtap":
-            ring_bytes += (st[3] + 1) * 128 * bt * 4       # NH+1 slots
-    return ring_bytes <= _RING_VMEM_BYTES
+        if st[0] == "comb" and st[2] < 128:
+            return False            # intra-block feedback: comb unchunkable
+    # ring residency: pick_bt halves the batch tile until the delay
+    # rings fit VMEM (config2's 0.25 s comb = 94 ring blocks needs
+    # bt=64); None = no tile fits, run the fallback composition
+    from dsp_stuff_tpu.ops.pallas_chain import pick_bt
+    return pick_bt(tuple(stages)) is not None
 
 
 def _segment_batched(x, stages: tuple, state_in: tuple):

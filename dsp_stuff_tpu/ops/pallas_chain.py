@@ -66,6 +66,33 @@ def _pick_tb(K: int) -> int:
     return _TB_CAP
 
 
+def _ring_bytes(stages, bt: int) -> int:
+    """VMEM bytes of the delay-ring scratch (comb output rings + mtap
+    input rings) at ``bt`` batch rows per grid step."""
+    rb = 0
+    for st in stages:
+        if st[0] == "comb":
+            rb += -(-st[2] // C) * C * bt * 4
+        elif st[0] == "mtap":
+            rb += (st[3] + 1) * C * bt * 4
+    return rb
+
+
+def pick_bt(stages) -> int | None:
+    """Batch rows per grid step for a stage list: the configured BT when
+    its rings fit the VMEM budget, else halved (min 32) until they do —
+    a long comb (config2's 0.25 s echo = 94 ring blocks) trades batch
+    tiling for ring residency instead of losing the fusion entirely.
+    None: no candidate fits (the fallback composition runs)."""
+    from dsp_stuff_tpu.ops.chain_segment import _RING_VMEM_BYTES
+    bt = BT
+    while bt >= 32:
+        if _ring_bytes(stages, bt) <= _RING_VMEM_BYTES:
+            return bt
+        bt //= 2
+    return None
+
+
 @functools.lru_cache(maxsize=64)
 def _casc_consts(sections: tuple):
     """(Ltg [C,C], W [C,NS], Ecb [NS,C], ACt [NS,NS], N, l1) f32 NumPy
@@ -265,7 +292,7 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                         @pl.when(k < K_steps - 1)
                         def _(b=blk, mi=mi, slot_w=slot_w):
                             mring_refs[mi][slot_w] = b
-                    q_j = q_ref[0, j]
+                    q_j = q_ref[0, k * TB + j]
                     s_idx = q_j // C
                     off = q_j - s_idx * C              # 8-aligned, < C
                     # window = 3 consecutive ring blocks starting at
@@ -347,7 +374,9 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
     K = T // C
     TB = _pick_tb(K)
     K_steps = -(-K // TB)
-    Bp = -(-B // BT) * BT
+    bt = pick_bt(stages)
+    assert bt is not None, "chain_kernel_call: rings exceed the VMEM budget"
+    Bp = -(-B // bt) * bt
     Tp = K_steps * TB * C
     xp = jnp.pad(x, ((0, Bp - B), (0, Tp - T)))
 
@@ -359,7 +388,7 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
     # operands: per-cascade constants + padded initial states, per-comb
     # padded history blocks
     ops = [xp]
-    in_specs = [pl.BlockSpec((BT, TB * C), lambda i, k: (i, k),
+    in_specs = [pl.BlockSpec((bt, TB * C), lambda i, k: (i, k),
                              memory_space=pltpu.VMEM)]
     const_spec = lambda shp: pl.BlockSpec(shp, lambda i, k: tuple(
         0 for _ in shp), memory_space=pltpu.VMEM)
@@ -402,19 +431,19 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
                      const_spec((NS, C)), const_spec((NS, NS))]
     for s0p in s0s:
         ops.append(s0p)
-        in_specs.append(pl.BlockSpec((BT, NS), lambda i, k: (i, 0),
+        in_specs.append(pl.BlockSpec((bt, NS), lambda i, k: (i, 0),
                                      memory_space=pltpu.VMEM))
     for hp in hists:
         NRC = hp.shape[-1]
         ops.append(hp)
-        in_specs.append(pl.BlockSpec((BT, NRC), lambda i, k: (i, 0),
+        in_specs.append(pl.BlockSpec((bt, NRC), lambda i, k: (i, 0),
                                      memory_space=pltpu.VMEM))
     for hp, qp, rp, frp in mtap_ops:
         ops += [hp, qp, rp, frp]
         in_specs += [
-            pl.BlockSpec((BT, hp.shape[-1]), lambda i, k: (i, 0),
+            pl.BlockSpec((bt, hp.shape[-1]), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda i, k: (0, k),
+            pl.BlockSpec((1, K_steps * TB), lambda i, k: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TB * C), lambda i, k: (0, k),
                          memory_space=pltpu.VMEM),
@@ -422,39 +451,39 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
                          memory_space=pltpu.VMEM),
         ]
 
-    seq_spec = pl.BlockSpec((BT, TB * C), lambda i, k: (i, k),
+    seq_spec = pl.BlockSpec((bt, TB * C), lambda i, k: (i, k),
                             memory_space=pltpu.VMEM)
     out_specs = [seq_spec] * (1 + n_t)
     out_shape = [jax.ShapeDtypeStruct((Bp, Tp), f32)] * (1 + n_t)
     for _ in cascades:
         for _k in range(2):
-            out_specs.append(pl.BlockSpec((BT, C), lambda i, k: (i, 0),
+            out_specs.append(pl.BlockSpec((bt, C), lambda i, k: (i, 0),
                                           memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((Bp, C), f32))
-    scratch = [pltpu.VMEM((BT, NS), f32) for _ in cascades]
+    scratch = [pltpu.VMEM((bt, NS), f32) for _ in cascades]
     for st in combs:
         NR = -(-st[2] // C)
-        out_specs.append(pl.BlockSpec((BT, NR, C),
+        out_specs.append(pl.BlockSpec((bt, NR, C),
                                       lambda i, k: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((Bp, NR, C), f32))
-        scratch.append(pltpu.VMEM((NR, BT, C), f32))
+        scratch.append(pltpu.VMEM((NR, bt, C), f32))
     mtaps = [st for st in stages if st[0] == "mtap"]
     n_m = len(mtaps)
     for st in mtaps:
         NRW = st[3] + 1
-        out_specs.append(pl.BlockSpec((BT, NRW, C),
+        out_specs.append(pl.BlockSpec((bt, NRW, C),
                                       lambda i, k: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((Bp, NRW, C), f32))
-        scratch.append(pltpu.VMEM((NRW, BT, C), f32))
+        scratch.append(pltpu.VMEM((NRW, bt, C), f32))
 
     from dsp_stuff_tpu.ops.pallas_math import safe_transcendentals
     kernel = _build_kernel(tuple(stages), TB, K, K_steps)
     with jax.enable_x64(False), safe_transcendentals():
         outs = pl.pallas_call(
             kernel,
-            grid=(Bp // BT, K_steps),
+            grid=(Bp // bt, K_steps),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),

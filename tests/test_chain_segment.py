@@ -474,6 +474,34 @@ def test_interpret_kernel_mtap_matches_fallback(B, T, monkeypatch):
                                    rtol=0, atol=2e-6)
 
 
+def test_use_kernel_engages_config_shapes(monkeypatch):
+    """The dispatch gate must actually ENGAGE the kernel for the
+    benchmark shapes (config2's 0.25 s comb ring exceeds the VMEM
+    budget at bt=128 — pick_bt must halve the batch tile, not lose the
+    fusion), and the SMEM q operand layout must stay legal for
+    divisor-poor TB (the Mosaic block rule that broke config5 at
+    T=48000, pallas_chain.py q BlockSpec)."""
+    from dsp_stuff_tpu.ops import scan
+    monkeypatch.setattr(scan, "_tpu_backend", lambda: True)
+    # config2: reverb(0.25 s) -> chorus(L=770, NH=7) -> gain
+    stages2 = (("comb", 0.45, 12000),
+               ("mtap", 0.5, 770, 7, 13, 144),
+               ("scale", 0.9))
+    assert pc.pick_bt(stages2) == 64       # 94+8 ring blocks: halved tile
+    assert cs._use_kernel(512, 480_000, stages2)
+    # config5's acyclic pair: high_pass -> chorus (L=530, NH=5)
+    stages5 = (("cascade", (("hp", 0.05),)),
+               ("mtap", 0.4, 530, 5, 13, 144))
+    assert pc.pick_bt(stages5) == pc.BT    # tiny rings: full tile
+    assert cs._use_kernel(512, 480_000, stages5)
+    # a 1 s comb (375 ring blocks) squeezes in at the bt=32 floor
+    assert pc.pick_bt((("comb", 0.3, 48_000),)) == 32
+    # two of them never fit: fallback
+    stages_big = (("comb", 0.3, 48_000), ("comb", 0.2, 48_000))
+    assert pc.pick_bt(stages_big) is None
+    assert not cs._use_kernel(512, 480_000, stages_big)
+
+
 def test_chain_segment_grad_matches_fallback():
     """The custom_vjp backward is the fallback's VJP: grads through
     chain_segment equal grads through segment_fallback."""

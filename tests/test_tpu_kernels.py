@@ -144,9 +144,22 @@ def test_chorus_mtap_megakernel_on_chip_matches_fallback():
     rng = np.random.default_rng(15)
     T = SR * 2
     x = (rng.standard_normal((B, 1, T)) * 0.25).astype(np.float32)
-    cg = compile_mod.compile_graph(g)
-    with precision.policy("fast"):
-        y_k, _, st_k = cg.render(x, batch_shape=(B,))   # kernel engaged
+
+    # FORCE the kernel (don't trust the gate — an over-budget ring
+    # would silently run the fallback and make this test vacuous; the
+    # gate itself is pinned by test_use_kernel_engages_config_shapes)
+    try:
+        cs._use_kernel_orig2 = cs._use_kernel
+        cs._use_kernel = lambda B, T, stages: True
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+        cg = compile_mod.compile_graph(g)
+        with precision.policy("fast"):
+            y_k, _, st_k = cg.render(x, batch_shape=(B,))
+    finally:
+        cs._use_kernel = cs._use_kernel_orig2
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
 
     try:
         cs._use_kernel_orig = cs._use_kernel
