@@ -311,7 +311,7 @@ def modulated_delay(x, rate_hz, depth_s, base_s, mix, hist, t0,
 # modulated fractional tap on a VMEM-resident input ring
 # (ops/pallas_chain.py), so at batch a chorus costs ZERO extra HBM
 # passes.  The trajectory is shared across streams (lockstep clock), so
-# its decomposition — per-block 8-aligned window starts q, per-sample
+# its decomposition — per-block window starts q, per-sample
 # residuals r < 8+E, interpolation weights frac — precomputes OUTSIDE
 # the kernel as three tiny [K]/[T] arrays (1/B-th of a signal pass) and
 # rides in as shared operands.  The fallback (mtap_apply) evaluates the
@@ -325,17 +325,20 @@ def mtap_static(rate_hz: float, depth_s: float, base_s: float, L: int,
                 sample_rate: int = 48_000):
     """Static mtap geometry for CONCRETE LFO params, or None when the
     stage can't lower: (NH, EV, RS) with NH = history blocks (ring has
-    NH+1 slots), EV = one-hot select count (8 + per-block trajectory
-    variation bound), RS = window slice width.  Gates: the minimum
-    delay must clear the b-tap (d >= 1) and the window slice
-    (dmin >= RS - 128), and EV must stay VPU-cheap."""
+    NH+1 slots), EV = one-hot select count (the per-block trajectory
+    variation bound ONLY — unlike the XLA barrel path, the kernel's
+    window extraction is a pltpu.roll, which takes ANY shift, so q need
+    not be 8-aligned and EV carries no +8 alignment residue; measured
+    the selects were the kernel's dominant VPU cost), RS = window slice
+    width.  Gates: the minimum delay must keep the whole window slice
+    inside written ring blocks (dmin >= RS - 128 + 2), and EV must stay
+    VPU-cheap."""
     C = _BARREL_FRAME
     rate = abs(float(rate_hz))
     depth = float(depth_s) * sample_rate
     base = float(base_s) * sample_rate
     dmin = base - depth
-    E = int(np.ceil(depth * 2.0 * np.pi * rate * C / sample_rate)) + 2
-    EV = _MTAP_S + E
+    EV = int(np.ceil(depth * 2.0 * np.pi * rate * C / sample_rate)) + 2
     if EV > _MTAP_S + _BARREL_MAX_E:
         return None
     RS = C + (-(-(EV + 1) // _MTAP_S)) * _MTAP_S
@@ -353,8 +356,9 @@ def mtap_shared(rate_hz, depth_s, base_s, L: int, T: int, t0,
     Coordinates: in-render absolute tap position a[t] = i[t] - L (i from
     _tap_trajectory, so indices/weights are IDENTICAL to the unfused
     chorus); u[t] = a[t] - t + NH*128 is the offset into the kernel's
-    (NH+1)-block window; q_b = 8-aligned per-block floor of u,
-    r = u - q_b[t // 128] in [0, EV)."""
+    (NH+1)-block window; q_b = per-block min of u (exact — the kernel's
+    pltpu.roll takes any shift, so no 8-alignment residue inflates the
+    select count), r = u - q_b[t // 128] in [0, EV)."""
     C = _BARREL_FRAME
     assert T % C == 0, T
     i, frac = _tap_trajectory(rate_hz, depth_s, base_s, L, T, t0,
@@ -362,7 +366,7 @@ def mtap_shared(rate_hz, depth_s, base_s, L: int, T: int, t0,
     NH = -(-L // C)
     u = i - L + NH * C - jnp.arange(T, dtype=jnp.int32)
     u2 = u.reshape(T // C, C)
-    q = (u2.min(axis=1) // _MTAP_S) * _MTAP_S              # [K] aligned
+    q = u2.min(axis=1)                                     # [K]
     r = (u2 - q[:, None]).reshape(T)                       # [T] < EV
     return q, r, frac
 

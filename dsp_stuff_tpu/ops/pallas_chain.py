@@ -273,7 +273,7 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                     # modulated fractional tap (chorus) on a VMEM ring
                     # of the stage INPUT.  The shared trajectory comes
                     # precomputed (modfx.mtap_shared): per-block
-                    # 8-aligned window start q (SMEM scalar), residual
+                    # window start q (SMEM scalar), residual
                     # one-hot selector r < EV, interp weight frac.
                     _, mix, _L, NH, EV, RS = st
                     NRW = NH + 1
@@ -294,7 +294,7 @@ def _build_kernel(stages: tuple, TB: int, K: int, K_steps: int):
                             mring_refs[mi][slot_w] = b
                     q_j = q_ref[0, k * TB + j]
                     s_idx = q_j // C
-                    off = q_j - s_idx * C              # 8-aligned, < C
+                    off = q_j - s_idx * C              # any int, < C
                     # window = 3 consecutive ring blocks starting at
                     # signal block (b_idx - NH + s_idx); RS <= 2C and
                     # off < C keep [off, off+RS) inside the 3C concat

@@ -485,13 +485,13 @@ def test_use_kernel_engages_config_shapes(monkeypatch):
     monkeypatch.setattr(scan, "_tpu_backend", lambda: True)
     # config2: reverb(0.25 s) -> chorus(L=770, NH=7) -> gain
     stages2 = (("comb", 0.45, 12000),
-               ("mtap", 0.5, 770, 7, 13, 144),
+               ("mtap", 0.5, 770, 7, 5, 136),
                ("scale", 0.9))
     assert pc.pick_bt(stages2) == 64       # 94+8 ring blocks: halved tile
     assert cs._use_kernel(512, 480_000, stages2)
     # config5's acyclic pair: high_pass -> chorus (L=530, NH=5)
     stages5 = (("cascade", (("hp", 0.05),)),
-               ("mtap", 0.4, 530, 5, 13, 144))
+               ("mtap", 0.4, 530, 5, 5, 136))
     assert pc.pick_bt(stages5) == pc.BT    # tiny rings: full tile
     assert cs._use_kernel(512, 480_000, stages5)
     # a 1 s comb (375 ring blocks) squeezes in at the bt=32 floor
