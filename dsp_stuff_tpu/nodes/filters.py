@@ -159,17 +159,27 @@ class Envelope:
 )
 class Fir:
     """Direct-form FIR over a loaded impulse response (fir.rs:179-225),
-    f64 accumulation, with the reference's warm-up quirk (see ops/fir.py)."""
+    f64 accumulation, with the reference's warm-up quirk (see ops/fir.py).
+
+    The global sample counter ``n_seen`` is LOCKSTEP state (all streams
+    of a batched render advance together), so it stays a shared scalar
+    under vmap — which keeps the warm-up machinery's gathers on shared
+    1-D indices (whole-row fetches; per-row indices measured ~200 ms of
+    a batch-256 config4 render, the per-element-gather pathology)."""
+
+    shared_state_keys = ("n_seen",)
 
     @staticmethod
     def init_state(cfg, block_size):
-        n = len(cfg["taps"])
-        return init_fir_state(n)
+        hist, first, n_seen = init_fir_state(len(cfg["taps"]))
+        return {"hist": hist, "first": first, "n_seen": n_seen}
 
     @staticmethod
     def process_seq(params, state, inputs):
         taps_rev = np.asarray(params["taps"], np.float64)
         divisor = np.float32(1.0 / taps_rev.size) \
             if params["mode"] == "Average" else np.float32(1.0)
-        y, state = fir_apply(inputs["in"], taps_rev, state, divisor)
-        return {"out": y}, state
+        y, (hist, first, n_seen) = fir_apply(
+            inputs["in"], taps_rev,
+            (state["hist"], state["first"], state["n_seen"]), divisor)
+        return {"out": y}, {"hist": hist, "first": first, "n_seen": n_seen}

@@ -160,27 +160,46 @@ def fir_apply(x, taps_rev, state, divisor=1.0):
     # ---- warm-up path: running cumsum along reversed taps ----
     # place this segment's samples into the global "first N-1" buffer
     firstbuf = first.astype(acc_dt)
-    # positions n_seen .. n_seen+T-1 (clipped to N-1); scatter via where on
-    # a global-index grid to stay shape-static
+    n_seen = jnp.asarray(n_seen, jnp.int32)
+    Wp = min(N - 1, T)
     gidx = jnp.arange(N - 1)                                       # global slots
-    seg_pos = gidx - n_seen[..., None]                             # [..., N-1]
-    in_seg = (seg_pos >= 0) & (seg_pos < T)
-    gathered = jnp.take_along_axis(
-        jnp.broadcast_to(xd, (*firstbuf.shape[:-1], T)),
-        jnp.clip(seg_pos, 0, T - 1), axis=-1)
-    firstbuf = jnp.where(in_seg, gathered, firstbuf)
-    warm_cum = jnp.cumsum(firstbuf * taps_rev[: N - 1].astype(acc_dt), axis=-1)
+    if n_seen.ndim == 0:
+        # LOCKSTEP counter (the node path: Fir declares n_seen shared —
+        # all streams advance together).  The two warm gathers then use
+        # SHARED 1-D indices, i.e. whole-[B]-row fetches per index —
+        # per-ROW indices measured 134.5 + 65.4 ms of the 313 ms
+        # batch-256 config4 render (the ~1 elt/cycle per-element gather
+        # class, CLAUDE.md), vs ~4 ms for the row-gather forms.
+        seg_pos = gidx - n_seen                                    # [N-1]
+        in_seg = (seg_pos >= 0) & (seg_pos < T)
+        # relevant slots satisfy seg_pos = g - n_seen <= N-2, so the
+        # gather source only needs x's first min(N-1, T) samples
+        gathered = xd[..., jnp.clip(seg_pos, 0, Wp - 1)]
+        firstbuf = jnp.where(in_seg, gathered, firstbuf)
+        warm_cum = jnp.cumsum(firstbuf * taps_rev[: N - 1].astype(acc_dt),
+                              axis=-1)
+        g_pre = n_seen + jnp.arange(Wp)                            # [Wp]
+        warm_pre = warm_cum[..., jnp.clip(g_pre, 0, N - 2)]
+        y_pre = jnp.where(g_pre < N - 1, warm_pre, y_steady[..., :Wp])
+    else:
+        # per-stream counters (raw-op callers with explicit batch state)
+        seg_pos = gidx - n_seen[..., None]                         # [..., N-1]
+        in_seg = (seg_pos >= 0) & (seg_pos < T)
+        gathered = jnp.take_along_axis(
+            jnp.broadcast_to(xd[..., :Wp], (*firstbuf.shape[:-1], Wp)),
+            jnp.clip(seg_pos, 0, Wp - 1), axis=-1)
+        firstbuf = jnp.where(in_seg, gathered, firstbuf)
+        warm_cum = jnp.cumsum(firstbuf * taps_rev[: N - 1].astype(acc_dt),
+                              axis=-1)
+        g_pre = n_seen[..., None] + jnp.arange(Wp)                 # [..., Wp]
+        warm_pre = jnp.take_along_axis(
+            jnp.broadcast_to(warm_cum, (*g_pre.shape[:-1], N - 1)),
+            jnp.clip(g_pre, 0, N - 2), axis=-1)
+        y_pre = jnp.where(g_pre < N - 1, warm_pre, y_steady[..., :Wp])
     # warm-up output for global index g (< N-1) is warm_cum[g].  Warm
     # samples are always a segment PREFIX (g = n_seen + t < N-1), so only
     # the first min(N-1, T) samples can need it — gather over that static
     # prefix instead of all T (a 480k render warms at most its first N-1).
-    Wp = min(N - 1, T)
-    g_of_t = n_seen[..., None] + jnp.arange(T)                     # [..., T]
-    g_pre = g_of_t[..., :Wp]
-    warm_pre = jnp.take_along_axis(
-        jnp.broadcast_to(warm_cum, (*g_pre.shape[:-1], N - 1)),
-        jnp.clip(g_pre, 0, N - 2), axis=-1)
-    y_pre = jnp.where(g_pre < N - 1, warm_pre, y_steady[..., :Wp])
     y = jnp.concatenate([y_pre, y_steady[..., Wp:]], axis=-1)
     y = y.astype(jnp.float32) * jnp.float32(divisor)
 
