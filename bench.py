@@ -248,6 +248,7 @@ def main():
         # the reference semantics; documented class ~-87 dBFS
         "accuracy_dbfs_fast_batch512": fast_acc.get("batch512"),
         "accuracy_dbfs_fast_config5": fast_acc.get("config5"),
+        "accuracy_dbfs_fast_config2": fast_acc.get("config2"),
         "rtf_16node_feedback_64_stereo_streams":
             round(rtf_batched, 1) if rtf_batched is not None else None,
         "rtf_config2_echo_chorus": cfg_rtf.get("config2"),
@@ -544,6 +545,19 @@ def _fast_accuracy_metric(dst, precision, rng):
     want = evaluate(g5, {int(meta5["input"]): x5[0, 0]}, T5)
     out["config5"] = round(float(_dbfs(np.asarray(y5)[0, 0],
                                        want[cg5.output_ids[0]])), 1)
+
+    # config2 (reverb -> chorus -> gain): the chain megakernel's mtap
+    # (modulated fractional-delay) stage, r5 default-on at batch
+    from dsp_stuff_tpu.models import config2_delay_chorus
+    g2, meta2 = config2_delay_chorus()
+    T2 = SR * 1
+    x2 = (rng.standard_normal((128, 1, T2)) * 0.2).astype(np.float32)
+    with precision.policy("fast"):
+        cg2 = dst.compile_graph(g2)
+        y2, _, _ = cg2.render(x2, batch_shape=(128,))
+    want2 = evaluate(g2, {int(meta2["input"]): x2[0, 0]}, T2)
+    out["config2"] = round(float(_dbfs(np.asarray(y2)[0, 0],
+                                       want2[cg2.output_ids[0]])), 1)
     return out
 
 
