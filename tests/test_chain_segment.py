@@ -53,11 +53,19 @@ def _bench_like_chain():
                        rv.id]
 
 
-def _assert_close_dbfs(got, want, db=-120.0):
-    """Full-scale error bound: fast-policy lowerings of the same math in
-    different fusion contexts differ by FMA-contraction 1-ulp noise
-    (CLAUDE.md), so cross-lowering pins use a -120 dBFS envelope, not
-    bitwise equality."""
+from conftest import ON_TPU
+
+#: Cross-lowering envelope.  On CPU, fast-policy lowerings of the same
+#: math in different fusion contexts differ by FMA-contraction 1-ulp
+#: noise (CLAUDE.md) -- -120 dBFS.  On the real chip, fused-vs-unfused
+#: run structurally different GEMM programs whose bf16-pass rounding
+#: differs, and resonant cascades amplify it to the documented ~-87
+#: fast class (PARITY.md Backend scope) -- -84 dBFS.
+CROSS_DB = -84.0 if ON_TPU else -120.0
+
+
+def _assert_close_dbfs(got, want, db=CROSS_DB):
+    """Full-scale error bound: see CROSS_DB above."""
     got = np.asarray(got, np.float64)
     want = np.asarray(want, np.float64)
     err = np.abs(got - want).max()

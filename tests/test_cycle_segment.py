@@ -22,6 +22,13 @@ from dsp_stuff_tpu.ops import pallas_cycle as pcy
 from dsp_stuff_tpu.utils import precision
 
 
+from conftest import ON_TPU
+
+#: cross-lowering envelope: -120 dBFS on CPU (FMA-contraction noise),
+#: -84 dBFS on the real chip (bf16-pass GEMM rounding amplified by
+#: resonant cascades -- the documented ~-87 fast class, PARITY.md)
+CROSS_DB = -84.0 if ON_TPU else -120.0
+
 def _db(got, want):
     got = np.asarray(got, np.float64)
     want = np.asarray(want, np.float64)
@@ -53,7 +60,7 @@ def test_config5_fused_matches_scan():
         cg = compile_mod.compile_graph(g)
         y_f, _, st_f = cg.render(ext)
         y_u, _, st_u = _render_scan(g, ext)
-    assert _db(y_f, y_u) <= -120.0
+    assert _db(y_f, y_u) <= CROSS_DB
     assert jax.tree.structure(st_f) == jax.tree.structure(st_u)
 
 
@@ -74,9 +81,9 @@ def test_config5_segmented_continuation():
         y1u, _, st_scan = _render_scan(g, {k: x[:cut]})
         y2x, _, _ = cg.render({k: x[cut:]}, state=st_scan)
     got = np.concatenate([np.asarray(y1)[0], np.asarray(y2)[0]])
-    assert _db(got, np.asarray(y_full)[0]) <= -120.0
+    assert _db(got, np.asarray(y_full)[0]) <= CROSS_DB
     gotx = np.concatenate([np.asarray(y1u)[0], np.asarray(y2x)[0]])
-    assert _db(gotx, np.asarray(y_full)[0]) <= -120.0
+    assert _db(gotx, np.asarray(y_full)[0]) <= CROSS_DB
 
 
 def _loop_graph(seconds=0.008, with_shaper=True):
@@ -111,7 +118,7 @@ def test_loop_graph_fused_matches_scan():
         cg = compile_mod.compile_graph(g)
         y_f, _, _ = cg.render({str(inp_id): x})
         y_u, _, _ = _render_scan(g, {str(inp_id): x})
-    assert _db(y_f, y_u) <= -120.0
+    assert _db(y_f, y_u) <= CROSS_DB
 
 
 def test_modulated_member_falls_back_to_scan():
@@ -171,7 +178,7 @@ def test_self_link_single_node_cycle():
         cg = compile_mod.compile_graph(g)
         y_f, _, _ = cg.render({str(inp.id): x})
         y_u, _, _ = _render_scan(g, {str(inp.id): x})
-    assert _db(y_f, y_u) <= -120.0
+    assert _db(y_f, y_u) <= CROSS_DB
 
 
 def test_node_hook_bypasses_cycle_fusion():
@@ -225,7 +232,7 @@ def test_interpret_kernel_matches_interpreter(B, T, monkeypatch):
     cyc._cycle_core.cache_clear()
     cyc._cycle_vjp.cache_clear()
 
-    assert _db(y_k, y_ref) <= -120.0
+    assert _db(y_k, y_ref) <= CROSS_DB
     leaves_r = jax.tree.leaves(st_ref)
     leaves_k = jax.tree.leaves(st_k)
     assert len(leaves_r) == len(leaves_k)
