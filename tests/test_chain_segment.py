@@ -358,6 +358,45 @@ def test_interpret_kernel_matches_fallback(B, T, seconds, mode,
                                    rtol=0, atol=2e-6)
 
 
+def test_interpret_kernel_fused_gemm_matches(monkeypatch):
+    """The opt-in DST_MEGA_FUSED_GEMM lowering (one blk@[Ltg|W]
+    [C, C+NS] dot per cascade sub-block instead of two) is math-identical
+    per column: interpret-mode renders under the flag must match the
+    unflagged kernel to the cross-lowering envelope, states included."""
+    g, inp_id, members = _bench_like_chain()
+    B, T = 64, 2560
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((B, 1, T)) * 0.3).astype(np.float32)
+
+    monkeypatch.setattr(cs, "_use_kernel", lambda B, T, stages: True)
+    monkeypatch.setattr(pc, "chain_kernel_call",
+                        functools.partial(pc.chain_kernel_call,
+                                          interpret=True))
+
+    def render():
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+        cg = compile_mod.compile_graph(g)
+        with precision.policy("fast"):
+            return cg.render(x, batch_shape=(B,))
+
+    try:
+        monkeypatch.setattr(pc, "FUSED_GEMM", False)
+        y_ref, _, st_ref = render()
+        monkeypatch.setattr(pc, "FUSED_GEMM", True)
+        y_f, _, st_f = render()
+    finally:
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+
+    _assert_close_dbfs(y_f, y_ref)
+    import jax
+    for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=0, atol=2e-6)
+
+
 def _config2_like():
     """config2's shape (reverb -> chorus -> gain) plus a shaper so the
     segment exercises cascade + ew + comb + mtap stages together."""
