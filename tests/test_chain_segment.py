@@ -63,6 +63,12 @@ from conftest import ON_TPU
 #: fast class (PARITY.md Backend scope) -- -84 dBFS.
 CROSS_DB = -84.0 if ON_TPU else -120.0
 
+#: Handed-back states (carries, delay rings) across the same lowerings
+#: carry the same class of bf16-pass rounding on chip (measured max
+#: 1.6e-5 abs on test_fused_render_matches_unfused); CPU stays at the
+#: 1-ulp FMA envelope.
+STATE_ATOL = 4e-5 if ON_TPU else 2e-6
+
 
 def _assert_close_dbfs(got, want, db=CROSS_DB):
     """Full-scale error bound: see CROSS_DB above."""
@@ -181,7 +187,7 @@ def test_tapped_mid_segment_matches_unfused():
     for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_u)):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
-                                   rtol=0, atol=2e-6)
+                                   rtol=0, atol=STATE_ATOL)
 
 
 def test_tapped_segment_segmented_state_carry():
@@ -246,7 +252,7 @@ def test_fused_render_matches_unfused():
     for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_u)):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
-                                   rtol=0, atol=2e-6)
+                                   rtol=0, atol=STATE_ATOL)
 
 
 def test_fused_segmented_state_carry():
@@ -355,7 +361,7 @@ def test_interpret_kernel_matches_fallback(B, T, seconds, mode,
     for a, b in zip(leaves_k, leaves_r):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
-                                   rtol=0, atol=2e-6)
+                                   rtol=0, atol=STATE_ATOL)
 
 
 def test_interpret_kernel_fused_gemm_matches(monkeypatch):
@@ -394,7 +400,7 @@ def test_interpret_kernel_fused_gemm_matches(monkeypatch):
     for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_ref)):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
-                                   rtol=0, atol=2e-6)
+                                   rtol=0, atol=STATE_ATOL)
 
 
 def _config2_like():
@@ -462,7 +468,7 @@ def test_chorus_fused_render_matches_unfused():
     for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_u)):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
-                                   rtol=0, atol=2e-6)
+                                   rtol=0, atol=STATE_ATOL)
 
 
 def test_chorus_fused_segmented_state_carry():
@@ -518,7 +524,7 @@ def test_interpret_kernel_mtap_matches_fallback(B, T, monkeypatch):
     for a, b in zip(leaves_k, leaves_r):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
-                                   rtol=0, atol=2e-6)
+                                   rtol=0, atol=STATE_ATOL)
 
 
 def test_use_kernel_engages_config_shapes(monkeypatch):

@@ -29,6 +29,10 @@ from conftest import ON_TPU
 #: resonant cascades -- the documented ~-87 fast class, PARITY.md)
 CROSS_DB = -84.0 if ON_TPU else -120.0
 
+#: handed-back states across the same lowerings: bf16-pass rounding
+#: class on chip, 1-ulp FMA envelope on CPU (test_chain_segment.py)
+STATE_ATOL = 4e-5 if ON_TPU else 2e-6
+
 def _db(got, want):
     got = np.asarray(got, np.float64)
     want = np.asarray(want, np.float64)
@@ -239,7 +243,7 @@ def test_interpret_kernel_matches_interpreter(B, T, monkeypatch):
     for a, b in zip(leaves_k, leaves_r):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
-                                   rtol=0, atol=2e-6)
+                                   rtol=0, atol=STATE_ATOL)
 
 
 def test_cycle_segment_grad_matches_interpreter():
