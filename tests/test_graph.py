@@ -571,5 +571,10 @@ def test_fitted_params_still_trace():
         o2 = g2.add("output")
         g2.chain(i2, l2, b2, o2)
         want, _, _ = dst.render(g2, {str(i2.id): x})
+    # traced-override coefficients build per-call constants (vs the
+    # concrete path's NumPy trace-time constants): a different program
+    # whose on-chip GEMM rounding differs by the bf16-pass class
+    # (measured 6.0e-6 abs); CPU keeps the tight bound.
+    from conftest import ON_TPU
     np.testing.assert_allclose(np.asarray(a), np.asarray(want),
-                               rtol=2e-5, atol=2e-6)
+                               rtol=2e-5, atol=4e-5 if ON_TPU else 2e-6)
