@@ -212,6 +212,16 @@ def main():
     except Exception as e:
         print(f"bench: max-throughput metric failed: {e!r}", file=sys.stderr)
 
+    # batch-1024 companion: the measured geometry sweep (PARITY.md r5
+    # dead-end table) found batch the only remaining lever on roofline
+    # % — +1.7 pp over 512
+    rtf_maxbatch_1k = None
+    try:
+        rtf_maxbatch_1k, gbps["batch1024"] = _max_throughput_metric(
+            rng, batch=1024)
+    except Exception as e:
+        print(f"bench: batch-1024 metric failed: {e!r}", file=sys.stderr)
+
     # batched aggregates for the remaining configs (round-5 ask #3):
     # "fast at scale" must hold for every config shape, not just the
     # chain — these are the driver-visible evidence
@@ -257,6 +267,10 @@ def main():
         "rtf_10node_chain_batch512_aggregate":
             round(rtf_maxbatch, 1) if rtf_maxbatch is not None else None,
         "pct_hbm_roofline_batch512": _pct_roofline(rtf_maxbatch, 1, 1),
+        "rtf_10node_chain_batch1024_aggregate":
+            round(rtf_maxbatch_1k, 1) if rtf_maxbatch_1k is not None
+            else None,
+        "pct_hbm_roofline_batch1024": _pct_roofline(rtf_maxbatch_1k, 1, 1),
         # batched aggregates for the other configs (aggregate audio-s/s
         # across all streams; config4 at 256 streams — stereo outs +
         # overlap-save FFT frames double its footprint)
@@ -304,6 +318,7 @@ def main():
         # cost_analysis is unavailable)
         "achieved_gbps_headline": gbps.get("headline"),
         "achieved_gbps_batch512": gbps.get("batch512"),
+        "achieved_gbps_batch1024": gbps.get("batch1024"),
         "achieved_gbps_config5": gbps.get("config5"),
         "achieved_gbps_config2": gbps.get("config2"),
         "achieved_gbps_config3": gbps.get("config3"),
@@ -481,7 +496,7 @@ def _config_batched_metric(name: str, rng, B: int):
     return B * (T / SR) * 16 / best, _gbps(by, best)
 
 
-def _max_throughput_metric(rng):
+def _max_throughput_metric(rng, batch=None):
     """Aggregate throughput at scale: the 10-node chain over 512 mono
     streams, 10 s each.  Every per-stream config is dispatch-bound (the
     roofline extras measure 0.3-3% of the HBM I/O floor); this section
@@ -489,7 +504,7 @@ def _max_throughput_metric(rng):
     audio-seconds per wall-second across all streams, and its
     ``pct_hbm_roofline_batch512`` companion states how close the engine
     gets to merely streaming the I/O through HBM once (819 GB/s)."""
-    B = int(os.environ.get("DST_BENCH_MAXBATCH", "512"))
+    B = batch or int(os.environ.get("DST_BENCH_MAXBATCH", "512"))
     g, inp_id = build_chain()
     T = SR * 10
     x = (rng.standard_normal((B, T)) * 0.25).astype(np.float32)

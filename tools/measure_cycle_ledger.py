@@ -11,6 +11,7 @@ Run on the real chip: python tools/measure_cycle_ledger.py
 """
 
 import json
+import os
 import sys
 import time
 
@@ -18,7 +19,11 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-B = 512
+# B=512 fits every one-register program; config5_shape (2 registers +
+# comb ring + cascade scratch) overflows scoped VMEM at 512 by 80 KiB
+# when the kernel is called directly (the compiler's planner tiles the
+# batch instead) — run that case with DST_LEDGER_B=256.
+B = int(os.environ.get("DST_LEDGER_B", "512"))
 T = 48_000 * 10
 N_CHAIN = 16
 N_TIMED = 3
