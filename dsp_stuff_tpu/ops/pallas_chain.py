@@ -56,6 +56,29 @@ _TB_CAP = int(os.environ.get("DST_MEGA_TB", "16"))
 FUSED_GEMM = os.environ.get("DST_MEGA_FUSED_GEMM", "0") == "1"
 
 
+def mega_compiler_params():
+    """Mosaic compiler params for both megakernels, env-gated (read at
+    call time — the measurement harnesses set these per subprocess):
+
+    - DST_MEGA_VMEM_MB: raise the scoped-VMEM limit (v5e default 16 MiB;
+      the physical VMEM is 128 MiB) — the BT=256 geometry and the
+      two-register cycle program at a direct B=512 call both exceed the
+      default by small margins.
+    - DST_MEGA_DIMSEM=parallel: declare the batch grid dim PARALLEL
+      (iterations over batch groups are independent; time stays
+      ARBITRARY for the carried scratch).
+    """
+    kw = {}
+    mb = os.environ.get("DST_MEGA_VMEM_MB")
+    if mb:
+        kw["vmem_limit_bytes"] = int(mb) * 1024 * 1024
+    if os.environ.get("DST_MEGA_DIMSEM") == "parallel":
+        kw["dimension_semantics"] = (
+            pltpu.GridDimensionSemantics.PARALLEL,
+            pltpu.GridDimensionSemantics.ARBITRARY)
+    return pltpu.CompilerParams(**kw) if kw else None
+
+
 def _pick_tb(K: int) -> int:
     """Sub-blocks per grid step: the largest divisor of K <= the cap
     (zero time padding), or the cap when K is divisor-poor (pad < TB
@@ -488,6 +511,7 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=scratch,
+            compiler_params=mega_compiler_params(),
             interpret=interpret,
         )(*ops)
 

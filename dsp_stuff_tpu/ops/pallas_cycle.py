@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dsp_stuff_tpu.ops.pallas_chain import (BT, C, NS, FUSED_GEMM,
-                                            _casc_consts, _pick_tb)
+                                            _casc_consts, _pick_tb,
+                                            mega_compiler_params)
 from dsp_stuff_tpu.ops.chain_segment import apply_ew
 
 
@@ -306,6 +307,7 @@ def cycle_kernel_call(exts: tuple, regs0: tuple, states: tuple,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=scratch,
+            compiler_params=mega_compiler_params(),
             interpret=interpret,
         )(*ops)
 

@@ -23,6 +23,16 @@ CASES = {
     "bt256": {"DST_MEGA_BT": "256"},
     "tb8": {"DST_MEGA_TB": "8"},
     "tb32": {"DST_MEGA_TB": "32"},
+    # round-5 follow-ups: BT=256 previously died on the 16 MiB scoped-
+    # VMEM default; DST_MEGA_VMEM_MB raises the Mosaic limit (physical
+    # VMEM is 128 MiB).  dimsem declares the batch grid dim PARALLEL.
+    "bt256_vmem64": {"DST_MEGA_BT": "256", "DST_MEGA_VMEM_MB": "64"},
+    "bt256_tb8_vmem64": {"DST_MEGA_BT": "256", "DST_MEGA_TB": "8",
+                         "DST_MEGA_VMEM_MB": "64"},
+    "dimsem_parallel": {"DST_MEGA_DIMSEM": "parallel"},
+    "b1024_bt256_vmem64": {"DST_BENCH_MAXBATCH": "1024",
+                           "DST_MEGA_BT": "256",
+                           "DST_MEGA_VMEM_MB": "64"},
 }
 
 SNIPPET = """
