@@ -73,9 +73,11 @@ from dsp_stuff_tpu.ops import shaping
 from dsp_stuff_tpu.ops.cascade import linear_cascade, cascade_tail_states
 from dsp_stuff_tpu.ops.delay_line import feedback_comb
 
-#: VMEM budget for comb delay rings inside the megakernel (bytes); combs
-#: beyond it (e.g. a 1 s delay = 48000 samples/stream) fall back
-_RING_VMEM_BYTES = 6 * 1024 * 1024
+# ring-residency budgeting moved to ops/pallas_chain.pick_bt /
+# vmem_limit_for: big rings now keep the full batch tile under a
+# computed scoped-VMEM limit (96 MiB cap) instead of the old flat
+# 6 MiB budget that halved the tile (config2) or lost the fusion
+# (combs past ~1.5 s)
 
 
 def _ew_fn(kind: str):
@@ -147,11 +149,12 @@ def _use_kernel(B: int, T: int, stages) -> bool:
     for st in stages:
         if st[0] == "comb" and st[2] < 128:
             return False            # intra-block feedback: comb unchunkable
-    # ring residency: pick_bt halves the batch tile until the delay
-    # rings fit VMEM (config2's 0.25 s comb = 94 ring blocks needs
-    # bt=64); None = no tile fits, run the fallback composition
+    # ring residency: pick_bt promotes the batch tile to 256 for
+    # 256-multiple batches, keeps the full tile for big rings via a
+    # computed scoped-VMEM limit, and halves only past the 96 MiB cap;
+    # None = no tile fits, run the fallback composition
     from dsp_stuff_tpu.ops.pallas_chain import pick_bt
-    return pick_bt(tuple(stages)) is not None
+    return pick_bt(tuple(stages), B) is not None
 
 
 def _segment_batched(x, stages: tuple, state_in: tuple):

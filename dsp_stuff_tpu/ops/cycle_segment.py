@@ -57,7 +57,7 @@ import numpy as np
 
 from dsp_stuff_tpu.ops.cascade import (_cascade_constants,
                                        cascade_tail_states)
-from dsp_stuff_tpu.ops.chain_segment import apply_ew, _RING_VMEM_BYTES
+from dsp_stuff_tpu.ops.chain_segment import apply_ew
 
 C = 128
 
@@ -203,15 +203,14 @@ def _use_kernel(B: int, T: int, program: tuple) -> bool:
         return False
     if B < 64 or T % C or T < 2 * C:
         return False
-    from dsp_stuff_tpu.ops.pallas_chain import BT as bt
-    ring_bytes = 0
     for ins in program:
-        if ins[0] == "comb":
-            D = ins[2]
-            if D < C:
-                return False
-            ring_bytes += -(-D // C) * C * bt * 4
-    return ring_bytes <= _RING_VMEM_BYTES
+        if ins[0] == "comb" and ins[2] < C:
+            return False            # intra-block feedback: unchunkable
+    # geometry feasibility mirrors the chain kernel: full tile with a
+    # computed scoped-VMEM limit for big rings, halving past the cap
+    from dsp_stuff_tpu.ops.pallas_chain import pick_bt
+    n_c, n_b, n_r, n_t, n_e = _program_counts(program)
+    return pick_bt(program, B, n_seq=n_e + n_t, promote=False) is not None
 
 
 def _batched(exts, regs0, states, program: tuple, n_taps: int):

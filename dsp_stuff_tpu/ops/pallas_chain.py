@@ -56,22 +56,28 @@ _TB_CAP = int(os.environ.get("DST_MEGA_TB", "16"))
 FUSED_GEMM = os.environ.get("DST_MEGA_FUSED_GEMM", "0") == "1"
 
 
-def mega_compiler_params():
-    """Mosaic compiler params for both megakernels, env-gated (read at
-    call time — the measurement harnesses set these per subprocess):
+def mega_compiler_params(vmem_limit: int | None = None):
+    """Mosaic compiler params for both megakernels.
 
-    - DST_MEGA_VMEM_MB: raise the scoped-VMEM limit (v5e default 16 MiB;
-      the physical VMEM is 128 MiB) — the BT=256 geometry and the
-      two-register cycle program at a direct B=512 call both exceed the
-      default by small margins.
+    ``vmem_limit`` is the geometry-computed scoped-VMEM limit from
+    vmem_limit_for (None = Mosaic's 16 MiB default).  Env overrides for
+    the measurement harnesses (read at call time, set per subprocess):
+
+    - DST_MEGA_VMEM_MB: force the scoped-VMEM limit (physical VMEM on
+      v5e is 128 MiB) — the BT=256 geometry and the two-register cycle
+      program at a direct B=512 call both exceed the 16 MiB default by
+      small margins.
     - DST_MEGA_DIMSEM=parallel: declare the batch grid dim PARALLEL
       (iterations over batch groups are independent; time stays
-      ARBITRARY for the carried scratch).
+      ARBITRARY for the carried scratch).  Measured a wash at the bench
+      chain (484,394 vs 492,388 baseline) — kept for measurement only.
     """
     kw = {}
     mb = os.environ.get("DST_MEGA_VMEM_MB")
     if mb:
         kw["vmem_limit_bytes"] = int(mb) * 1024 * 1024
+    elif vmem_limit is not None:
+        kw["vmem_limit_bytes"] = int(vmem_limit)
     if os.environ.get("DST_MEGA_DIMSEM") == "parallel":
         kw["dimension_semantics"] = (
             pltpu.GridDimensionSemantics.PARALLEL,
@@ -79,14 +85,17 @@ def mega_compiler_params():
     return pltpu.CompilerParams(**kw) if kw else None
 
 
-def _pick_tb(K: int) -> int:
+def _pick_tb(K: int, cap: int | None = None) -> int:
     """Sub-blocks per grid step: the largest divisor of K <= the cap
     (zero time padding), or the cap when K is divisor-poor (pad < TB
-    blocks)."""
-    for tb in range(_TB_CAP, 0, -1):
+    blocks).  The promoted BT=256 chain tile passes cap=8: TB=8 keeps
+    the doubled sequential tiles at the same VMEM footprint and
+    measured best there (520,423 vs 514,311 audio-s/s at TB=16)."""
+    cap = _TB_CAP if cap is None else min(cap, _TB_CAP)
+    for tb in range(cap, 0, -1):
         if K % tb == 0:
             return tb
-    return _TB_CAP
+    return cap
 
 
 def _ring_bytes(stages, bt: int) -> int:
@@ -101,19 +110,81 @@ def _ring_bytes(stages, bt: int) -> int:
     return rb
 
 
-def pick_bt(stages) -> int | None:
-    """Batch rows per grid step for a stage list: the configured BT when
-    its rings fit the VMEM budget, else halved (min 32) until they do —
-    a long comb (config2's 0.25 s echo = 94 ring blocks) trades batch
-    tiling for ring residency instead of losing the fusion entirely.
-    None: no candidate fits (the fallback composition runs)."""
-    from dsp_stuff_tpu.ops.chain_segment import _RING_VMEM_BYTES
+#: total scoped-VMEM the kernels may request via a computed
+#: vmem_limit_bytes (physical VMEM on v5e is 128 MiB); beyond this the
+#: batch tile halves, and past bt=32 the fallback composition runs
+_VMEM_CAP_BYTES = int(os.environ.get("DST_MEGA_VMEM_CAP_MB", "96")) * 2**20
+_MOSAIC_DEFAULT_VMEM = 16 * 2**20       # Mosaic's scoped-vmem default
+_LEGACY_RING_BYTES = 6 * 2**20          # the pre-r5 ring budget
+
+
+def _vmem_need_bytes(stages, bt: int, n_seq: int, tb: int = None) -> int:
+    """Estimated scoped-VMEM demand: ring scratch + the ring-sized
+    history row inputs (~another ring), double-buffered sequential
+    tiles (input + output + taps), + an 8 MiB margin for constants,
+    carries and the Mosaic stack.  Validated against the compiler's own
+    accounting: the two-register cycle program it reports at 16.08 MiB
+    estimates at ~19 MiB here."""
+    tb = _TB_CAP if tb is None else tb
+    tiles = 2 * n_seq * bt * tb * C * 4
+    return 2 * _ring_bytes(stages, bt) + tiles + 8 * 2**20
+
+
+def pick_bt(stages, B: int | None = None,
+            n_seq: int | None = None, promote: bool = True) -> int | None:
+    """Batch rows per grid step for a stage list.
+
+    Candidates: 256 first when the batch is a whole multiple of 256 and
+    no explicit DST_MEGA_BT is set (measured at the bench chain,
+    batch 512 x 10 s: BT=256 with a raised scoped-VMEM limit + TB=8
+    beats BT=128 492,388 -> 520,423 audio-s/s — the r4 'BT=256 dead
+    end' was only the 16 MiB default limit); then the configured BT,
+    halving (min 32) until the estimated VMEM need fits the 96 MiB cap.
+    Long combs that fit the cap keep the full tile and get a computed
+    vmem_limit_bytes instead of halving (see vmem_limit_for).
+    None: nothing fits (the fallback composition runs).
+
+    ``promote=False`` (the cycle kernel): skip the 256 promotion — the
+    cycle grid round-trips its register tuple per step, and BT=256
+    measured a 18% REGRESSION there (config5_shape B=512: 616,708 vs
+    756,181 audio-s/s)."""
+    if n_seq is None:
+        n_seq = 2 + sum(1 for st in stages if st[0] == "tap")
+    cands = []
+    if (promote and B is not None and B >= 256 and B % 256 == 0
+            and BT == 128):
+        cands.append(256)
     bt = BT
     while bt >= 32:
-        if _ring_bytes(stages, bt) <= _RING_VMEM_BYTES:
-            return bt
+        cands.append(bt)
         bt //= 2
+    for bt in cands:
+        if _vmem_need_bytes(stages, bt, n_seq) <= _VMEM_CAP_BYTES:
+            return bt
     return None
+
+
+def vmem_limit_for(stages, bt: int, n_seq: int,
+                   by_estimate: bool = False) -> int | None:
+    """Computed vmem_limit_bytes for a picked geometry — None (Mosaic
+    default) exactly when the legacy gate would have accepted this tile
+    (bt <= 128 and rings within the old 6 MiB budget), so every
+    measured default path compiles bit-identically; a raised limit only
+    for the promoted BT=256 tile and for ring sets past the old budget
+    (which used to halve the tile or lose the fusion).
+
+    ``by_estimate``: decide by the need estimate instead of the legacy
+    ring gate — for the cycle kernel, whose register tuple + history
+    rows can exceed the 16 MiB default with rings well under 6 MiB (the
+    two-register config5_shape program needs 16.08 MiB)."""
+    if by_estimate:
+        if bt <= 128 and (_vmem_need_bytes(stages, bt, n_seq)
+                          <= _MOSAIC_DEFAULT_VMEM - 2 * 2**20):
+            return None
+    elif bt <= 128 and _ring_bytes(stages, bt) <= _LEGACY_RING_BYTES:
+        return None
+    need = _vmem_need_bytes(stages, bt, n_seq)
+    return min(max(need, _MOSAIC_DEFAULT_VMEM), _VMEM_CAP_BYTES)
 
 
 @functools.lru_cache(maxsize=64)
@@ -395,10 +466,10 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
     x = jnp.asarray(x, f32)
     B, T = x.shape
     K = T // C
-    TB = _pick_tb(K)
-    K_steps = -(-K // TB)
-    bt = pick_bt(stages)
+    bt = pick_bt(stages, B)
     assert bt is not None, "chain_kernel_call: rings exceed the VMEM budget"
+    TB = _pick_tb(K, cap=8 if bt == 256 else None)
+    K_steps = -(-K // TB)
     Bp = -(-B // bt) * bt
     Tp = K_steps * TB * C
     xp = jnp.pad(x, ((0, Bp - B), (0, Tp - T)))
@@ -511,7 +582,8 @@ def chain_kernel_call(x, stages: tuple, state_in: tuple,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=scratch,
-            compiler_params=mega_compiler_params(),
+            compiler_params=mega_compiler_params(
+                vmem_limit_for(stages, bt, 2 + n_t)),
             interpret=interpret,
         )(*ops)
 

@@ -31,9 +31,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dsp_stuff_tpu.ops.pallas_chain import (BT, C, NS, FUSED_GEMM,
+from dsp_stuff_tpu.ops.pallas_chain import (C, NS, FUSED_GEMM,
                                             _casc_consts, _pick_tb,
-                                            mega_compiler_params)
+                                            mega_compiler_params, pick_bt,
+                                            vmem_limit_for)
 from dsp_stuff_tpu.ops.chain_segment import apply_ew
 
 
@@ -229,12 +230,14 @@ def cycle_kernel_call(exts: tuple, regs0: tuple, states: tuple,
     K = T // C
     TB = _pick_tb(K)
     K_steps = -(-K // TB)
-    Bp = -(-B // BT) * BT
-    Tp = K_steps * TB * C
     n_c, n_b, n_r, n_t, n_e = _program_counts(program)
     assert n_e == len(exts) and n_r == len(regs0) and n_t == n_taps
+    bt = pick_bt(program, B, n_seq=n_e + n_t, promote=False)
+    assert bt is not None, "cycle_kernel_call: rings exceed the VMEM budget"
+    Bp = -(-B // bt) * bt
+    Tp = K_steps * TB * C
 
-    seq_spec = pl.BlockSpec((BT, TB * C), lambda i, k: (i, k),
+    seq_spec = pl.BlockSpec((bt, TB * C), lambda i, k: (i, k),
                             memory_space=pltpu.VMEM)
     const_spec = lambda shp: pl.BlockSpec(shp, lambda i, k: tuple(
         0 for _ in shp), memory_space=pltpu.VMEM)
@@ -266,33 +269,33 @@ def cycle_kernel_call(exts: tuple, regs0: tuple, states: tuple,
             hists.append(jnp.pad(hist, ((0, Bp - B), (off, 0))))
     for s0p in s0s:
         ops.append(s0p)
-        in_specs.append(row_spec((BT, NS)))
+        in_specs.append(row_spec((bt, NS)))
     for hp in hists:
         ops.append(hp)
-        in_specs.append(row_spec((BT, hp.shape[-1])))
+        in_specs.append(row_spec((bt, hp.shape[-1])))
     for r0 in regs0:
         ops.append(jnp.pad(jnp.asarray(r0, f32), ((0, Bp - B), (0, 0))))
-        in_specs.append(row_spec((BT, C)))
+        in_specs.append(row_spec((bt, C)))
 
     out_specs = [seq_spec] * n_t
     out_shape = [jax.ShapeDtypeStruct((Bp, Tp), f32)] * n_t
     for _ in range(n_c):
         for _k in range(2):
-            out_specs.append(row_spec((BT, C)))
+            out_specs.append(row_spec((bt, C)))
             out_shape.append(jax.ShapeDtypeStruct((Bp, C), f32))
-    scratch = [pltpu.VMEM((BT, NS), f32) for _ in range(n_c)]
+    scratch = [pltpu.VMEM((bt, NS), f32) for _ in range(n_c)]
     bi = 0
     for ins in program:
         if ins[0] == "comb":
             NR = -(-ins[2] // C)
-            out_specs.append(row_spec((BT, NR, C)))
+            out_specs.append(row_spec((bt, NR, C)))
             out_shape.append(jax.ShapeDtypeStruct((Bp, NR, C), f32))
-            scratch.append(pltpu.VMEM((NR, BT, C), f32))
+            scratch.append(pltpu.VMEM((NR, bt, C), f32))
             bi += 1
     for _ in range(n_r):
-        out_specs.append(row_spec((BT, C)))
+        out_specs.append(row_spec((bt, C)))
         out_shape.append(jax.ShapeDtypeStruct((Bp, C), f32))
-        scratch.append(pltpu.VMEM((BT, C), f32))
+        scratch.append(pltpu.VMEM((bt, C), f32))
     # reorder scratch: [casc carries] already first, then rings, then regs
     # (matches kernel unpack order)
 
@@ -302,12 +305,13 @@ def cycle_kernel_call(exts: tuple, regs0: tuple, states: tuple,
     with jax.enable_x64(False), safe_transcendentals():
         outs = pl.pallas_call(
             kernel,
-            grid=(Bp // BT, K_steps),
+            grid=(Bp // bt, K_steps),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=scratch,
-            compiler_params=mega_compiler_params(),
+            compiler_params=mega_compiler_params(
+                vmem_limit_for(program, bt, n_e + n_t, by_estimate=True)),
             interpret=interpret,
         )(*ops)
 

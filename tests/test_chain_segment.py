@@ -529,30 +529,45 @@ def test_interpret_kernel_mtap_matches_fallback(B, T, monkeypatch):
 
 def test_use_kernel_engages_config_shapes(monkeypatch):
     """The dispatch gate must actually ENGAGE the kernel for the
-    benchmark shapes (config2's 0.25 s comb ring exceeds the VMEM
-    budget at bt=128 — pick_bt must halve the batch tile, not lose the
-    fusion), and the SMEM q operand layout must stay legal for
-    divisor-poor TB (the Mosaic block rule that broke config5 at
-    T=48000, pallas_chain.py q BlockSpec)."""
+    benchmark shapes (config2's 0.25 s comb ring used to halve the
+    batch tile under the flat 6 MiB ring budget — the r5 computed
+    scoped-VMEM limit keeps the FULL tile), and the SMEM q operand
+    layout must stay legal for divisor-poor TB (the Mosaic block rule
+    that broke config5 at T=48000, pallas_chain.py q BlockSpec)."""
     from dsp_stuff_tpu.ops import scan
     monkeypatch.setattr(scan, "_tpu_backend", lambda: True)
     # config2: reverb(0.25 s) -> chorus(L=770, NH=7) -> gain
     stages2 = (("comb", 0.45, 12000),
                ("mtap", 0.5, 770, 7, 5, 136),
                ("scale", 0.9))
-    assert pc.pick_bt(stages2) == 64       # 94+8 ring blocks: halved tile
+    assert pc.pick_bt(stages2) == pc.BT    # full tile, raised vmem limit
+    assert pc.vmem_limit_for(stages2, pc.BT, 2) is not None
     assert cs._use_kernel(512, 480_000, stages2)
     # config5's acyclic pair: high_pass -> chorus (L=530, NH=5)
     stages5 = (("cascade", (("hp", 0.05),)),
                ("mtap", 0.4, 530, 5, 5, 136))
     assert pc.pick_bt(stages5) == pc.BT    # tiny rings: full tile
+    # ... and small rings keep the Mosaic-default limit (bit-identical
+    # compile to the r4 measured path)
+    assert pc.vmem_limit_for(stages5, pc.BT, 2) is None
     assert cs._use_kernel(512, 480_000, stages5)
-    # a 1 s comb (375 ring blocks) squeezes in at the bt=32 floor
-    assert pc.pick_bt((("comb", 0.3, 48_000),)) == 32
-    # two of them never fit: fallback
+    # batch a whole multiple of 256: the tile is PROMOTED to 256 (chain
+    # kernel only; measured 492,388 -> 514,311 audio-s/s at batch 512)
+    assert pc.pick_bt(stages5, 512) == 256
+    assert pc.pick_bt(stages5, 512, promote=False) == pc.BT
+    assert pc.pick_bt(stages5, 320) == pc.BT   # not a 256 multiple
+    # a 1 s comb (375 ring blocks) now keeps the full tile too
+    assert pc.pick_bt((("comb", 0.3, 48_000),)) == pc.BT
+    # two of them fit at a halved tile under the 96 MiB cap (the old
+    # flat budget lost this fusion entirely)
     stages_big = (("comb", 0.3, 48_000), ("comb", 0.2, 48_000))
-    assert pc.pick_bt(stages_big) is None
-    assert not cs._use_kernel(512, 480_000, stages_big)
+    assert pc.pick_bt(stages_big) == 64
+    assert cs._use_kernel(512, 480_000, stages_big)
+    # eight seconds of combined delay exceeds even the cap at bt=32:
+    # fallback composition
+    stages_huge = tuple(("comb", 0.3, 48_000) for _ in range(8))
+    assert pc.pick_bt(stages_huge) is None
+    assert not cs._use_kernel(512, 480_000, stages_huge)
 
 
 def test_chain_segment_grad_matches_fallback():

@@ -178,6 +178,81 @@ def test_chorus_mtap_megakernel_on_chip_matches_fallback():
     _assert_states_close(st_k, st_f, np.abs(np.asarray(y_f)).max())
 
 
+def test_chain_megakernel_bt256_on_chip_matches_fallback():
+    """The r5 PROMOTED geometry — batch a 256-multiple picks BT=256 /
+    TB=8 with a computed scoped-VMEM limit (pallas_chain.pick_bt;
+    measured 492,388 -> 520,423 audio-s/s at the bench chain) — vs the
+    fallback composition at B=256.  B=64 above never promotes, so this
+    is the only on-chip correctness pin for the geometry the bench
+    numbers run at."""
+    from dsp_stuff_tpu.ops import pallas_chain as pc
+    g, inp_id = _bench_chain()
+    rng = np.random.default_rng(16)
+    T = SR * 1
+    x = (rng.standard_normal((256, 1, T)) * 0.25).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_k, _, st_k = cg.render(x, batch_shape=(256,))   # BT=256 engaged
+
+    try:
+        cs._use_kernel_orig = cs._use_kernel
+        cs._use_kernel = lambda B, T, stages: False
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+        cg2 = compile_mod.compile_graph(g)
+        with precision.policy("fast"):
+            y_f, _, st_f = cg2.render(x, batch_shape=(256,))
+    finally:
+        cs._use_kernel = cs._use_kernel_orig
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+
+    assert _db(y_k, y_f) <= -80.0
+    _assert_states_close(st_k, st_f, np.abs(np.asarray(y_f)).max())
+
+
+def test_chain_megakernel_big_ring_full_tile_on_chip():
+    """A 1 s comb (375 ring blocks, ~49 MiB of ring scratch at bt=128)
+    now keeps the FULL batch tile under a computed scoped-VMEM limit
+    instead of halving to bt=32 (the pre-r5 flat 6 MiB budget) — pin
+    that the remote Mosaic compiler accepts the raised limit and the
+    lowering is correct vs the fallback."""
+    import dsp_stuff_tpu as dst
+    from dsp_stuff_tpu.ops import pallas_chain as pc
+    g = dst.Graph()
+    inp = g.add("input")
+    gn = g.add("gain", level=0.9)
+    rv = g.add("reverb", seconds=1.0, decay=0.35)
+    out = g.add("output")
+    g.chain(inp, gn, rv, out)
+    stages = (("comb", 0.35, SR),)
+    assert pc.pick_bt(stages) == 128            # full tile
+    assert pc.vmem_limit_for(stages, 128, 2) is not None
+
+    rng = np.random.default_rng(17)
+    T = SR * 1
+    x = (rng.standard_normal((B, 1, T)) * 0.25).astype(np.float32)
+    cg = compile_mod.compile_graph(g)
+    with precision.policy("fast"):
+        y_k, _, st_k = cg.render(x, batch_shape=(B,))
+
+    try:
+        cs._use_kernel_orig = cs._use_kernel
+        cs._use_kernel = lambda B, T, stages: False
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+        cg2 = compile_mod.compile_graph(g)
+        with precision.policy("fast"):
+            y_f, _, st_f = cg2.render(x, batch_shape=(B,))
+    finally:
+        cs._use_kernel = cs._use_kernel_orig
+        cs._segment_core.cache_clear()
+        cs._segment_vjp.cache_clear()
+
+    assert _db(y_k, y_f) <= -80.0
+    _assert_states_close(st_k, st_f, np.abs(np.asarray(y_f)).max())
+
+
 def test_fast_batched_chain_vs_oracle_on_chip():
     """The ENGAGED fast path (chain megakernel at batch) against the
     per-sample NumPy oracle on stream 0: the documented fast class
